@@ -1,0 +1,291 @@
+"""Sample encoders: COCO annotations -> fixed-shape CenterNet training targets.
+
+TPU-native redesign of the reference's per-object host loops
+(reference: CenterNet/sample/ctdet.py:39-90, CenterNet/sample/multi_pose.py:35-112):
+annotations are padded to ``max_objects`` and the whole encoding runs as one
+vectorized, jittable function (`encode_detection` / `encode_multi_pose`) built
+on segment-max gaussian splats. The thin ``CenterDetectionSample`` /
+``MultiPoseSample`` callables keep the reference's ``(img, target) -> (img,
+dict)`` pipeline API.
+
+Layout: heatmaps are HWC (stride-4 map); vector targets are
+``[max_objects, ...]`` rows with a validity mask; ``indices`` are flat
+``y*W + x`` int32.
+
+Known reference divergences (documented, deliberate):
+* image shape is unpacked as (H, W) — the reference unpacks ``_, input_w,
+  input_h`` from a CHW tensor (sample/ctdet.py:40), which only works for
+  square inputs.
+* indices are int32 (TPU-native) instead of int64.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.gaussian import (
+    gaussian_radius,
+    scatter_max_channels,
+    splat_msra,
+    splat_umich,
+)
+
+NUM_JOINTS = 17
+
+
+def _scale_clip(x, y, out_hw, down_ratio):
+    """Reference ``scale_point`` (sample/ctdet.py:30-37): /down, clip to map."""
+    out_h, out_w = out_hw
+    x = jnp.clip(x / down_ratio, 0, out_w - 1)
+    y = jnp.clip(y / down_ratio, 0, out_h - 1)
+    return x, y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("input_hw", "num_classes", "down_ratio", "gaussian_type"),
+)
+def encode_detection(
+    boxes_xywh: jax.Array,  # [N, 4] float32 COCO xywh in input coords
+    class_ids: jax.Array,  # [N] int32 contiguous class ids
+    valid: jax.Array,  # [N] bool
+    input_hw: Tuple[int, int],
+    num_classes: int = 80,
+    down_ratio: int = 4,
+    gaussian_type: str = "umich",
+) -> Dict[str, jax.Array]:
+    """Vectorized CenterNet detection target encoder.
+
+    Returns dict with ``heatmap`` [H/4, W/4, num_classes], ``width_height``
+    [N, 2], ``regression`` [N, 2], ``regression_mask`` [N] bool,
+    ``indices`` [N] int32. Semantics match sample/ctdet.py:39-90.
+    """
+    in_h, in_w = input_hw
+    out_h, out_w = in_h // down_ratio, in_w // down_ratio
+
+    x1 = boxes_xywh[:, 0]
+    y1 = boxes_xywh[:, 1]
+    x2 = boxes_xywh[:, 0] + boxes_xywh[:, 2]
+    y2 = boxes_xywh[:, 1] + boxes_xywh[:, 3]
+
+    x1, y1 = _scale_clip(x1, y1, (out_h, out_w), down_ratio)
+    x2, y2 = _scale_clip(x2, y2, (out_h, out_w), down_ratio)
+
+    h = y2 - y1
+    w = x2 - x1
+    ok = valid & (h > 0) & (w > 0)
+
+    radius_f = gaussian_radius(jnp.ceil(h), jnp.ceil(w))
+    radius = jnp.maximum(0, jnp.trunc(radius_f)).astype(jnp.int32)
+
+    ct_x = (x1 + x2) / 2.0
+    ct_y = (y1 + y2) / 2.0
+    ct_int_x = ct_x.astype(jnp.int32)  # trunc, matches tensor.to(int32)
+    ct_int_y = ct_y.astype(jnp.int32)
+    centers_int = jnp.stack([ct_int_x, ct_int_y], axis=1)
+
+    if gaussian_type == "msra":
+        per_obj = splat_msra(
+            centers_int, radius.astype(jnp.float32), ok, (out_h, out_w)
+        )
+    else:
+        per_obj = splat_umich(centers_int, radius, ok, (out_h, out_w))
+    safe_cls = jnp.where(ok, class_ids, 0).astype(jnp.int32)
+    heatmap = scatter_max_channels(per_obj, safe_cls, num_classes)
+
+    okf = ok.astype(jnp.float32)
+    width_height = jnp.stack([w, h], axis=1) * okf[:, None]
+    regression = (
+        jnp.stack([ct_x - ct_int_x, ct_y - ct_int_y], axis=1) * okf[:, None]
+    )
+    indices = jnp.where(ok, ct_int_y * out_w + ct_int_x, 0).astype(jnp.int32)
+
+    return {
+        "heatmap": heatmap,
+        "width_height": width_height,
+        "regression": regression,
+        "regression_mask": ok,
+        "indices": indices,
+    }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("input_hw", "num_joints", "down_ratio", "gaussian_type")
+)
+def encode_multi_pose(
+    boxes_xywh: jax.Array,  # [N, 4]
+    keypoints: jax.Array,  # [N, J, 3] (x, y, vis) in input coords
+    valid: jax.Array,  # [N] bool
+    input_hw: Tuple[int, int],
+    num_joints: int = NUM_JOINTS,
+    down_ratio: int = 4,
+    gaussian_type: str = "msra",
+) -> Dict[str, jax.Array]:
+    """Vectorized multi-pose target encoder (sample/multi_pose.py:35-112).
+
+    Returns dict with ``heatmap_keypoints`` [H/4, W/4, J], ``keypoints``
+    [N, 2J], ``keypoints_mask`` [N, 2J] bool, ``heatmap_keypoints_offset``
+    [N*J, 2], ``heatmap_keypoints_indices`` [N*J] int32,
+    ``heatmap_keypoints_mask`` [N*J] bool.
+    """
+    in_h, in_w = input_hw
+    out_h, out_w = in_h // down_ratio, in_w // down_ratio
+    n = boxes_xywh.shape[0]
+
+    x1 = boxes_xywh[:, 0]
+    y1 = boxes_xywh[:, 1]
+    x2 = boxes_xywh[:, 0] + boxes_xywh[:, 2]
+    y2 = boxes_xywh[:, 1] + boxes_xywh[:, 3]
+    x1, y1 = _scale_clip(x1, y1, (out_h, out_w), down_ratio)
+    x2, y2 = _scale_clip(x2, y2, (out_h, out_w), down_ratio)
+
+    # reference: ct_int = IntTensor([cx, cy]) — truncation of the float center
+    ct_int_x = ((x1 + x2) / 2.0).astype(jnp.int32)
+    ct_int_y = ((y1 + y2) / 2.0).astype(jnp.int32)
+
+    h = y2 - y1
+    w = x2 - x1
+    obj_ok = valid & (h > 0) & (w > 0)
+    hp_radius = gaussian_radius(jnp.ceil(h), jnp.ceil(w))  # float sigma (msra)
+
+    vis = keypoints[..., 2]
+    joint_ok = obj_ok[:, None] & (vis != 0)  # [N, J]
+
+    kx, ky = _scale_clip(
+        keypoints[..., 0], keypoints[..., 1], (out_h, out_w), down_ratio
+    )  # [N, J]
+    pt_int_x = kx.astype(jnp.int32)
+    pt_int_y = ky.astype(jnp.int32)
+
+    jokf = joint_ok.astype(jnp.float32)
+    kp_rel = jnp.stack(
+        [(kx - ct_int_x[:, None]) * jokf, (ky - ct_int_y[:, None]) * jokf], axis=-1
+    )  # [N, J, 2]
+    kp_flat = kp_rel.reshape(n, num_joints * 2)
+    kp_mask = jnp.repeat(joint_ok, 2, axis=1).reshape(n, num_joints * 2)
+
+    hp_offset = jnp.stack(
+        [(kx - pt_int_x) * jokf, (ky - pt_int_y) * jokf], axis=-1
+    ).reshape(n * num_joints, 2)
+    hp_indices = jnp.where(joint_ok, pt_int_y * out_w + pt_int_x, 0)
+    hp_indices = hp_indices.reshape(n * num_joints).astype(jnp.int32)
+    hp_mask = joint_ok.reshape(n * num_joints)
+
+    # Keypoint heatmap: one channel per joint, max over objects. Sequential
+    # over the (static) 17 joints to bound memory at [N, H, W] per step.
+    centers = jnp.stack([pt_int_x, pt_int_y], axis=-1)  # [N, J, 2]
+
+    def _one_joint(j):
+        if gaussian_type == "umich":
+            rad = jnp.maximum(0, jnp.trunc(hp_radius)).astype(jnp.int32)
+            per = splat_umich(centers[:, j], rad, joint_ok[:, j], (out_h, out_w))
+        else:
+            per = splat_msra(centers[:, j], hp_radius, joint_ok[:, j], (out_h, out_w))
+        return jnp.maximum(per.max(axis=0), 0.0)  # [H, W]
+
+    hm_kp = jax.lax.map(_one_joint, jnp.arange(num_joints))  # [J, H, W]
+    hm_kp = jnp.transpose(hm_kp, (1, 2, 0))  # HWC
+
+    return {
+        "heatmap_keypoints": hm_kp,
+        "keypoints": kp_flat,
+        "keypoints_mask": kp_mask,
+        "heatmap_keypoints_offset": hp_offset,
+        "heatmap_keypoints_indices": hp_indices,
+        "heatmap_keypoints_mask": hp_mask,
+    }
+
+
+def pad_annotations(
+    target: List[Dict[str, Any]], max_objects: int, num_joints: int = NUM_JOINTS
+):
+    """COCO ann list -> padded numpy arrays (boxes, classes, keypoints, valid)."""
+    boxes = np.zeros((max_objects, 4), np.float32)
+    classes = np.zeros((max_objects,), np.int32)
+    kps = np.zeros((max_objects, num_joints, 3), np.float32)
+    valid = np.zeros((max_objects,), bool)
+    for k, ann in enumerate(target[:max_objects]):
+        boxes[k] = np.asarray(ann["bbox"], np.float32)
+        classes[k] = (
+            ann["class_id"] if "class_id" in ann else int(ann["category_id"]) - 1
+        )
+        if "keypoints" in ann:
+            kps[k] = np.asarray(ann["keypoints"], np.float32).reshape(num_joints, 3)
+        valid[k] = True
+    return boxes, classes, kps, valid
+
+
+class CenterDetectionSample:
+    """Pipeline-compatible detection encoder (reference: sample/ctdet.py:9).
+
+    ``(img, target) -> (img, dict_of_numpy_targets)`` where ``img`` is an HWC
+    (or CHW) array and ``target`` a list of COCO-style ann dicts.
+    """
+
+    def __init__(
+        self,
+        down_ratio: int = 4,
+        num_classes: int = 80,
+        max_objects: int = 128,
+        gaussian_type: str = "umich",
+    ):
+        self.down_ratio = down_ratio
+        self.num_classes = num_classes
+        self.max_objects = max_objects
+        self.gaussian_type = gaussian_type
+
+    @staticmethod
+    def _input_hw(img) -> Tuple[int, int]:
+        shape = img.shape
+        if len(shape) == 3 and shape[0] in (1, 3) and shape[2] not in (1, 3):
+            return int(shape[1]), int(shape[2])  # CHW
+        return int(shape[0]), int(shape[1])  # HWC
+
+    def __call__(self, img, target):
+        boxes, classes, _, valid = pad_annotations(target, self.max_objects)
+        enc = encode_detection(
+            boxes,
+            classes,
+            valid,
+            input_hw=self._input_hw(img),
+            num_classes=self.num_classes,
+            down_ratio=self.down_ratio,
+            gaussian_type=self.gaussian_type,
+        )
+        return img, {k: np.asarray(v) for k, v in enc.items()}
+
+
+class MultiPoseSample:
+    """Pipeline-compatible pose encoder (reference: sample/multi_pose.py:9)."""
+
+    def __init__(
+        self,
+        down_ratio: int = 4,
+        max_objects: int = 128,
+        gaussian_type: str = "msra",
+        num_joints: int = NUM_JOINTS,
+    ):
+        self.down_ratio = down_ratio
+        self.max_objects = max_objects
+        self.gaussian_type = gaussian_type
+        self.num_joints = num_joints
+
+    def __call__(self, img, target):
+        boxes, _, kps, valid = pad_annotations(
+            target, self.max_objects, self.num_joints
+        )
+        enc = encode_multi_pose(
+            boxes,
+            kps,
+            valid,
+            input_hw=CenterDetectionSample._input_hw(img),
+            num_joints=self.num_joints,
+            down_ratio=self.down_ratio,
+            gaussian_type=self.gaussian_type,
+        )
+        return img, {k: np.asarray(v) for k, v in enc.items()}
