@@ -41,7 +41,7 @@ def test_focal_loss_no_positives():
     pred = np.full((1, 8, 8, 2), 0.3, np.float32)
     got = float(focal_loss(pred, gt))
     want = focal_loss_np(pred.astype(np.float64), gt.astype(np.float64))
-    np.testing.assert_allclose(got, want, rtol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=5e-4)
 
 
 def test_reg_l1_loss():
