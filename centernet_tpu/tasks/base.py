@@ -1,0 +1,130 @@
+"""Base CenterNet task (reference: CenterNet/centernet.py:9-119).
+
+The reference couples model + loss + optimizer into a LightningModule. The
+TPU-native design splits it functionally:
+
+* ``CenterNetModel`` — a pure flax module: backbone + per-stack ``CenterHead``.
+* ``CenterNet`` (this class) — a Task: owns the module, the arch-specific
+  constants (head_conv=256 for dla/hourglass else 64, num_stacks=2 for
+  hourglass else 1, TTA padding=127 for hourglass else 31, down_ratio=4 —
+  reference centernet.py:15-17), a pure ``loss_fn(outputs, targets)``, and
+  the optax optimizer (Adam + MultiStep LR, reference centernet.py:94-105).
+
+Everything the trainer jits is a pure function of (params, batch); the Task
+holds no device state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+
+from ..models import CenterHead, create_model
+
+
+def arch_head_conv(arch: str) -> int:
+    return 256 if ("dla" in arch or "hourglass" in arch) else 64
+
+
+def arch_num_stacks(arch: str) -> int:
+    return 2 if "hourglass" in arch else 1
+
+
+def arch_test_padding(arch: str) -> int:
+    return 127 if "hourglass" in arch else 31
+
+
+class CenterNetModel(nn.Module):
+    """Backbone + one CenterHead per supervision stack."""
+
+    arch: str
+    heads: Mapping[str, int]
+    head_conv: int
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[Dict[str, jnp.ndarray]]:
+        proto = create_model(self.arch, self.dtype)
+        cls = type(proto)
+        if self.remat:
+            # Rematerialize backbone activations in the backward pass —
+            # trades FLOPs for HBM, needed for the 2-stack hourglass at 512^2.
+            cls = nn.remat(cls, static_argnums=(2,))
+        kwargs = {
+            name: getattr(proto, name)
+            for name in type(proto).__dataclass_fields__
+            if name not in ("parent", "name")
+        }
+        backbone = cls(**kwargs, name="backbone")
+        feats = backbone(x, train)
+        outs = []
+        for i, feat in enumerate(feats):
+            outs.append(
+                CenterHead(self.heads, self.head_conv, name=f"head_{i}")(feat)
+            )
+        return outs
+
+
+class CenterNet:
+    """Task base: model factory + optimizer + loss protocol."""
+
+    heads: Mapping[str, int] = {}
+    mean = (0.408, 0.447, 0.470)  # BGR (reference centernet_detection.py:29)
+    std = (0.289, 0.274, 0.278)
+
+    def __init__(
+        self,
+        arch: str = "dla_34",
+        learning_rate: float = 25e-5,
+        learning_rate_milestones: Optional[Sequence[int]] = None,
+        dtype: Any = jnp.float32,
+    ):
+        self.arch = arch
+        self.learning_rate = learning_rate
+        self.learning_rate_milestones = list(learning_rate_milestones or [])
+        self.head_conv = arch_head_conv(arch)
+        self.num_stacks = arch_num_stacks(arch)
+        self.padding = arch_test_padding(arch)
+        self.down_ratio = 4
+        self.dtype = dtype
+        self.model = CenterNetModel(
+            arch=arch,
+            heads=dict(self.heads),
+            head_conv=self.head_conv,
+            dtype=dtype,
+            remat="hourglass" in arch,
+        )
+
+    # -- model plumbing ------------------------------------------------------
+
+    def init_variables(self, rng, input_hw: Tuple[int, int] = (512, 512)):
+        x = jnp.zeros((1, input_hw[0], input_hw[1], 3), jnp.float32)
+        return self.model.init(rng, x, False)
+
+    def apply(self, variables, x, train: bool = False, mutable=False):
+        return self.model.apply(variables, x, train, mutable=mutable)
+
+    # -- training protocol ----------------------------------------------------
+
+    def loss(self, outputs, target) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        raise NotImplementedError
+
+    def configure_optimizer(self, steps_per_epoch: int = 1) -> optax.GradientTransformation:
+        """Adam with MultiStepLR(milestones, gamma=0.1) stepped per epoch
+        (reference centernet.py:94-105). ``steps_per_epoch`` converts the
+        epoch milestones into step boundaries for the optax schedule."""
+        if self.learning_rate_milestones:
+            boundaries = {
+                int(m) * steps_per_epoch: 0.1 for m in self.learning_rate_milestones
+            }
+            schedule = optax.piecewise_constant_schedule(
+                self.learning_rate, boundaries
+            )
+        else:
+            schedule = self.learning_rate
+        return optax.adam(schedule)

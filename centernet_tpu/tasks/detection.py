@@ -1,0 +1,226 @@
+"""COCO object-detection task (reference: CenterNet/centernet_detection.py).
+
+Heads {heatmap: num_classes, width_height: 2, regression: 2}
+(centernet_detection.py:60); loss = 1*focal + 0.1*L1(wh) + 1*L1(off)
+averaged over supervision stacks (centernet_detection.py:97-130); decode via
+``ctdet_decode``; TTA = multi-scale + horizontal flip with ``(d | pad) + 1``
+padding (centernet_detection.py:139-171); multi-scale merging via soft-NMS
+and a global top-100 score cut (centernet_detection.py:206-223).
+
+Device/host split (TPU-native): forward + flip-average + decode run jitted on
+device and return only ``[K, 6]`` per scale; unpad/unscale, per-class
+grouping, soft-NMS and the COCO conversion are cheap numpy host work.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.decode import ctdet_decode
+from ..ops.losses import focal_loss, reg_l1_loss, sigmoid_clamped
+from ..ops.nms import soft_nms
+from .base import CenterNet
+
+# The 80 valid COCO category ids (reference centernet_detection.py:32-41).
+COCO_VALID_IDS = [
+    1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13,
+    14, 15, 16, 17, 18, 19, 20, 21, 22, 23,
+    24, 25, 27, 28, 31, 32, 33, 34, 35, 36,
+    37, 38, 39, 40, 41, 42, 43, 44, 46, 47,
+    48, 49, 50, 51, 52, 53, 54, 55, 56, 57,
+    58, 59, 60, 61, 62, 63, 64, 65, 67, 70,
+    72, 73, 74, 75, 76, 77, 78, 79, 80, 81,
+    82, 84, 85, 86, 87, 88, 89, 90,
+]
+
+
+def pad_to_tta_size(dim: int, padding: int) -> int:
+    """Reference pad rule ``(d | padding) + 1`` (centernet_detection.py:143)."""
+    return (dim | padding) + 1
+
+
+class CenterNetDetection(CenterNet):
+    """Detection task (reference CenterNetDetection, centernet_detection.py:28)."""
+
+    max_objs = 128
+    valid_ids = COCO_VALID_IDS
+
+    def __init__(
+        self,
+        arch: str = "dla_34",
+        learning_rate: float = 25e-5,
+        learning_rate_milestones: Optional[Sequence[int]] = None,
+        hm_weight: float = 1.0,
+        wh_weight: float = 0.1,
+        off_weight: float = 1.0,
+        num_classes: int = 80,
+        test_scales: Optional[Sequence[float]] = None,
+        test_flip: bool = False,
+        test_max_per_image: int = 100,
+        decode_k: int = 100,
+        dtype: Any = jnp.float32,
+    ):
+        self.num_classes = num_classes
+        self.heads = {
+            "heatmap": num_classes,
+            "width_height": 2,
+            "regression": 2,
+        }
+        super().__init__(arch, learning_rate, learning_rate_milestones, dtype)
+        self.hm_weight = hm_weight
+        self.wh_weight = wh_weight
+        self.off_weight = off_weight
+        self.test_scales = [1.0] if test_scales is None else list(test_scales)
+        self.test_flip = test_flip
+        self.test_max_per_image = test_max_per_image
+        self.decode_k = decode_k
+
+    # -- loss (pure) -----------------------------------------------------------
+
+    def loss(self, outputs, target):
+        """Weighted multi-head loss averaged over stacks
+        (reference centernet_detection.py:97-130)."""
+        hm_loss = wh_loss = off_loss = 0.0
+        num_stacks = len(outputs)
+        for output in outputs:
+            hm = sigmoid_clamped(output["heatmap"])
+            hm_loss += focal_loss(hm, target["heatmap"])
+            wh_loss += reg_l1_loss(
+                output["width_height"],
+                target["regression_mask"],
+                target["indices"],
+                target["width_height"],
+            )
+            off_loss += reg_l1_loss(
+                output["regression"],
+                target["regression_mask"],
+                target["indices"],
+                target["regression"],
+            )
+        loss = (
+            self.hm_weight * hm_loss
+            + self.wh_weight * wh_loss
+            + self.off_weight * off_loss
+        ) / num_stacks
+        return loss, {
+            "loss": loss,
+            "hm_loss": hm_loss,
+            "wh_loss": wh_loss,
+            "off_loss": off_loss,
+        }
+
+    # -- inference (device) ------------------------------------------------------
+
+    def _infer_decode(self, variables, images, flip: bool):
+        """Forward last stack + optional flip-average + decode. Jitted per
+        input shape. ``images`` is [1 or 2, H, W, 3] normalized NHWC."""
+        outputs = self.apply(variables, images, train=False)[-1]
+        hm = outputs["heatmap"]
+        wh = outputs["width_height"]
+        reg = outputs["regression"]
+        if flip:
+            hm = (hm[0:1] + hm[1:2, :, ::-1]) / 2.0
+            wh = (wh[0:1] + wh[1:2, :, ::-1]) / 2.0
+            reg = reg[0:1]
+        return ctdet_decode(jax.nn.sigmoid(hm), wh, reg, k=self.decode_k)
+
+    @functools.cached_property
+    def _infer_decode_jit(self):
+        return jax.jit(self._infer_decode, static_argnames=("flip",))
+
+    def prepare_image(self, img_hwc: np.ndarray, scale: float):
+        """Resize + TTA-pad + normalize one image (host/numpy + jax.image).
+
+        Returns (images [1, Hp, Wp, 3], meta) matching
+        centernet_detection.py:139-151. ``img_hwc`` is float in [0, 1], BGR.
+        """
+        h, w = img_hwc.shape[:2]
+        new_h, new_w = int(h * scale), int(w * scale)
+        pad_tb = (pad_to_tta_size(new_h, self.padding) - new_h) // 2
+        pad_lr = (pad_to_tta_size(new_w, self.padding) - new_w) // 2
+
+        img = jax.image.resize(
+            jnp.asarray(img_hwc, jnp.float32), (new_h, new_w, 3), "bilinear"
+        )
+        img = jnp.pad(img, ((pad_tb, pad_tb), (pad_lr, pad_lr), (0, 0)))
+        img = (img - jnp.asarray(self.mean)) / jnp.asarray(self.std)
+        meta = {
+            "scale": [new_w / w, new_h / h],
+            "padding": [pad_lr, pad_tb],
+        }
+        return img[None], meta
+
+    def predict(
+        self, variables, img_hwc: np.ndarray
+    ) -> Dict[int, np.ndarray]:
+        """Full TTA prediction for one image -> {class_1based: [n, 5] xyxy+score}
+        (reference test_step + test_step_end, centernet_detection.py:132-225)."""
+        per_scale: List[Dict[int, np.ndarray]] = []
+        for scale in self.test_scales:
+            images, meta = self.prepare_image(img_hwc, scale)
+            if self.test_flip:
+                images = jnp.concatenate([images, images[:, :, ::-1]], axis=0)
+            det = np.asarray(
+                self._infer_decode_jit(variables, images, self.test_flip)
+            )[0]
+
+            # Undo down_ratio, padding, scale (host).
+            padding = np.array(meta["padding"] * 2, np.float32)
+            sc = np.array(meta["scale"] * 2, np.float32)
+            det[:, :4] = det[:, :4] * self.down_ratio
+            det[:, :4] -= padding
+            det[:, :4] /= sc
+
+            by_class = {}
+            classes = det[:, -1]
+            for j in range(self.num_classes):
+                sel = classes == j
+                by_class[j + 1] = det[sel, :5].reshape(-1, 5)
+            per_scale.append(by_class)
+
+        # Merge scales (+ soft-NMS when multi-scale) and keep top-N.
+        results: Dict[int, np.ndarray] = {}
+        for j in range(1, self.num_classes + 1):
+            results[j] = np.concatenate([d[j] for d in per_scale], axis=0)
+            if len(self.test_scales) > 1:
+                keep = soft_nms(results[j], Nt=0.5, method=2)
+                results[j] = results[j][keep]
+
+        scores = np.hstack(
+            [results[j][:, 4] for j in range(1, self.num_classes + 1)]
+        )
+        if len(scores) > self.test_max_per_image:
+            kth = len(scores) - self.test_max_per_image
+            thresh = np.partition(scores, kth)[kth]
+            for j in range(1, self.num_classes + 1):
+                results[j] = results[j][results[j][:, 4] >= thresh]
+        return results
+
+    # -- COCO conversion -----------------------------------------------------------
+
+    def to_coco_format(self, image_id, results: Dict[int, np.ndarray]) -> List[dict]:
+        """Per-class xyxy detections -> COCO result dicts
+        (reference test_epoch_end, centernet_detection.py:231-248)."""
+        out = []
+        for class_index, boxes in results.items():
+            cat = self.valid_ids[class_index - 1]
+            for b in boxes:
+                out.append(
+                    {
+                        "image_id": int(image_id),
+                        "category_id": int(cat),
+                        "bbox": [
+                            float(b[0]),
+                            float(b[1]),
+                            float(b[2] - b[0]),
+                            float(b[3] - b[1]),
+                        ],
+                        "score": float(b[4]),
+                    }
+                )
+        return out
