@@ -1,0 +1,90 @@
+"""Host input pipeline: multi-worker prefetching loader.
+
+Replaces torch ``DataLoader(num_workers=8, pin_memory=True)`` (reference:
+centernet_detection.py:363-375). Samples are produced by a thread pool (the
+heavy per-sample work — cv2 warp + jitted CPU target encoding — releases the
+GIL), batched into fixed-shape numpy arrays, and handed to the trainer which
+device-puts them with a `data`-axis sharding. A small prefetch queue keeps
+the TPU fed while the host prepares the next batch.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+
+def default_collate(samples):
+    """Stack (img, target_dict) samples into batched numpy arrays."""
+    imgs = np.stack([np.asarray(s[0], np.float32) for s in samples])
+    keys = samples[0][1].keys()
+    target = {
+        k: np.stack([np.asarray(s[1][k]) for s in samples]) for k in keys
+    }
+    return imgs, target
+
+
+class DataLoader:
+    """Minimal epoch-iterable loader with worker threads and prefetching."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 32,
+        shuffle: bool = False,
+        num_workers: int = 8,
+        drop_last: bool = True,
+        collate_fn: Callable = default_collate,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.collate_fn = collate_fn
+        self.rng = np.random.RandomState(seed)
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        nb = len(self)
+        for b in range(nb):
+            yield order[b * self.batch_size : (b + 1) * self.batch_size]
+
+    def __iter__(self) -> Iterator:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for idxs in self._batches():
+                    if stop.is_set():
+                        break
+                    samples = list(pool.map(self.dataset.__getitem__, idxs))
+                    q.put(self.collate_fn(samples))
+            q.put(None)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()

@@ -165,9 +165,9 @@ class CenterNetDetection(CenterNet):
             images, meta = self.prepare_image(img_hwc, scale)
             if self.test_flip:
                 images = jnp.concatenate([images, images[:, :, ::-1]], axis=0)
-            det = np.asarray(
-                self._infer_decode_jit(variables, images, self.test_flip)
-            )[0]
+            det = np.array(
+                self._infer_decode_jit(variables, images, self.test_flip)[0]
+            )
 
             # Undo down_ratio, padding, scale (host).
             padding = np.array(meta["padding"] * 2, np.float32)

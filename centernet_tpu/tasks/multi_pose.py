@@ -199,9 +199,9 @@ class CenterNetMultiPose(CenterNet):
             images, meta = self.prepare_image(img_hwc, scale)
             if self.test_flip:
                 images = jnp.concatenate([images, images[:, :, ::-1]], axis=0)
-            det = np.asarray(
-                self._infer_decode_jit(variables, images, self.test_flip)
-            )[0]
+            det = np.array(
+                self._infer_decode_jit(variables, images, self.test_flip)[0]
+            )
 
             padding = np.array(meta["padding"], np.float32)
             sc = np.array(meta["scale"], np.float32)
