@@ -1,0 +1,43 @@
+"""Shared CLI plumbing (reference arg surface:
+centernet_detection.py:268-419, centernet.py:107-119, plus the Trainer flags
+the reference inherits from ``pl.Trainer.add_argparse_args``)."""
+
+from __future__ import annotations
+
+import argparse
+from typing import List
+
+
+def add_model_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument(
+        "--arch",
+        default="dla_34",
+        help="backbone architecture: res_18 | res_101 | resdcn_18 | "
+        "resdcn_101 | dla_34 | hourglass",
+    )
+    parser.add_argument("--learning_rate", type=float, default=25e-5)
+    parser.add_argument("--learning_rate_milestones", default="90,120")
+
+
+def add_trainer_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--max_epochs", type=int, default=140)
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="devices in the data-parallel mesh (default: all)")
+    parser.add_argument("--limit_train_batches", type=int, default=None)
+    parser.add_argument("--limit_val_batches", type=int, default=None)
+    parser.add_argument("--default_root_dir", default="./runs")
+    parser.add_argument("--precision", default="bf16", choices=["bf16", "f32"])
+    parser.add_argument("--profile", action="store_true",
+                        help="dump a jax.profiler trace of a few train steps")
+
+
+def add_data_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("image_root")
+    parser.add_argument("annotation_root")
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--num_workers", type=int, default=8)
+    parser.add_argument("--pretrained_weights_path", default=None)
+
+
+def parse_milestones(spec: str) -> List[int]:
+    return [int(x) for x in str(spec).replace(" ", "").split(",") if x]

@@ -1,0 +1,141 @@
+"""Detection training CLI (reference: centernet_detection.py cli_main,
+:268-419). Same flow: seeds, augmentation pipelines, COCO datasets, loaders,
+task, checkpoint callback, fit, then a TTA test pass with COCO eval."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import (
+    CategoryIdToClass,
+    CenterDetectionSample,
+    ComposeSample,
+    ImageAugmentation,
+    Normalize,
+    detection_train_augmenter,
+    eval_augmenter,
+)
+from ..data import transforms as T
+from ..data.coco import CocoDetection
+from ..data.loader import DataLoader
+from ..parallel.mesh import make_mesh
+from ..parallel.trainer import CheckpointCallback, Trainer
+from ..tasks.detection import CenterNetDetection
+from ..utils.coco_eval import CocoEvaluator
+from .common import add_data_args, add_model_args, add_trainer_args, parse_milestones
+
+
+def build_pipelines(task):
+    norm = Normalize(task.mean, task.std)
+    train_transform = ComposeSample(
+        [
+            ImageAugmentation(detection_train_augmenter(), norm),
+            CategoryIdToClass(task.valid_ids),
+            CenterDetectionSample(),
+        ]
+    )
+    valid_transform = ComposeSample(
+        [
+            ImageAugmentation(eval_augmenter(), norm),
+            CategoryIdToClass(task.valid_ids),
+            CenterDetectionSample(),
+        ]
+    )
+    return train_transform, valid_transform
+
+
+def cli_main(argv=None):
+    np.random.seed(5318008)
+    T.seed(107734)
+
+    parser = argparse.ArgumentParser("centernet_tpu detection")
+    add_data_args(parser)
+    add_model_args(parser)
+    add_trainer_args(parser)
+    parser.add_argument("--test_only", action="store_true")
+    args = parser.parse_args(argv)
+
+    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    task = CenterNetDetection(
+        args.arch,
+        learning_rate=args.learning_rate,
+        learning_rate_milestones=parse_milestones(args.learning_rate_milestones),
+        dtype=dtype,
+    )
+
+    train_transform, valid_transform = build_pipelines(task)
+    coco_train = CocoDetection(
+        os.path.join(args.image_root, "train2017"),
+        os.path.join(args.annotation_root, "instances_train2017.json"),
+        transforms=train_transform,
+    )
+    coco_val = CocoDetection(
+        os.path.join(args.image_root, "val2017"),
+        os.path.join(args.annotation_root, "instances_val2017.json"),
+        transforms=valid_transform,
+    )
+
+    train_loader = DataLoader(
+        coco_train,
+        batch_size=args.batch_size,
+        num_workers=args.num_workers,
+        shuffle=True,
+        seed=5318008,
+    )
+    val_loader = DataLoader(
+        coco_val,
+        batch_size=args.batch_size,
+        num_workers=args.num_workers,
+        shuffle=False,
+    )
+
+    mesh = make_mesh(n_data=args.num_devices)
+    trainer = Trainer(
+        task,
+        mesh=mesh,
+        max_epochs=args.max_epochs,
+        limit_train_batches=args.limit_train_batches,
+        limit_val_batches=args.limit_val_batches,
+        log_dir=os.path.join(args.default_root_dir, "tb_logs", "detection"),
+        checkpoint=CheckpointCallback(
+            dirpath=os.path.join(args.default_root_dir, "checkpoints"),
+            monitor="val_loss",
+            save_top_k=5,
+            save_last=True,
+            every_n_epochs=10,
+        ),
+        steps_per_epoch_hint=max(1, len(train_loader)),
+    )
+    trainer.init_state()
+
+    if args.pretrained_weights_path:
+        from ..utils.torch_import import load_legacy_centernet_weights
+
+        variables = load_legacy_centernet_weights(
+            args.pretrained_weights_path, task, trainer.state.variables()
+        )
+        trainer.state = trainer.state.replace(
+            params=variables["params"], batch_stats=variables["batch_stats"]
+        )
+
+    if not args.test_only:
+        trainer.fit(train_loader, val_loader)
+
+    # TTA test + COCO eval (reference :412-418 uses the val set).
+    test_ds = (
+        (coco_val._load_image(img_id)[..., ::-1].astype(np.float32) / 255.0, img_id)
+        for img_id in coco_val.ids
+    )
+    evaluator = CocoEvaluator(coco_val.coco, "bbox")
+    stats = trainer.test(test_ds, evaluator)
+    print(stats)
+    return trainer
+
+
+if __name__ == "__main__":
+    cli_main()

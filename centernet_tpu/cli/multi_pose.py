@@ -1,0 +1,139 @@
+"""Multi-pose training CLI (reference: centernet_multi_pose.py cli_main,
+:324-471)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import (
+    CenterDetectionSample,
+    ComposeSample,
+    ImageAugmentation,
+    MultiPoseSample,
+    MultiSampleTransform,
+    Normalize,
+    PoseFlip,
+    eval_augmenter,
+    pose_train_augmenter,
+)
+from ..data import transforms as T
+from ..data.coco import CocoDetection
+from ..data.loader import DataLoader
+from ..parallel.mesh import make_mesh
+from ..parallel.trainer import CheckpointCallback, Trainer
+from ..tasks.multi_pose import CenterNetMultiPose
+from ..utils.coco_eval import CocoEvaluator
+from .common import add_data_args, add_model_args, add_trainer_args, parse_milestones
+
+
+def build_pipelines(task):
+    norm = Normalize(task.mean, task.std)
+    train_transform = ComposeSample(
+        [
+            ImageAugmentation(pose_train_augmenter(), norm),
+            PoseFlip(0.5),
+            MultiSampleTransform(
+                [CenterDetectionSample(num_classes=1), MultiPoseSample()]
+            ),
+        ]
+    )
+    valid_transform = ComposeSample(
+        [
+            ImageAugmentation(eval_augmenter(), norm),
+            MultiSampleTransform(
+                [CenterDetectionSample(num_classes=1), MultiPoseSample()]
+            ),
+        ]
+    )
+    return train_transform, valid_transform
+
+
+def cli_main(argv=None):
+    np.random.seed(5318008)
+    T.seed(107734)
+
+    parser = argparse.ArgumentParser("centernet_tpu multi-pose")
+    add_data_args(parser)
+    add_model_args(parser)
+    add_trainer_args(parser)
+    parser.add_argument("--test_only", action="store_true")
+    args = parser.parse_args(argv)
+
+    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    task = CenterNetMultiPose(
+        args.arch,
+        learning_rate=args.learning_rate,
+        learning_rate_milestones=parse_milestones(args.learning_rate_milestones),
+        dtype=dtype,
+    )
+
+    train_transform, valid_transform = build_pipelines(task)
+    coco_train = CocoDetection(
+        os.path.join(args.image_root, "train2017"),
+        os.path.join(args.annotation_root, "person_keypoints_train2017.json"),
+        transforms=train_transform,
+    )
+    coco_val = CocoDetection(
+        os.path.join(args.image_root, "val2017"),
+        os.path.join(args.annotation_root, "person_keypoints_val2017.json"),
+        transforms=valid_transform,
+    )
+
+    train_loader = DataLoader(
+        coco_train,
+        batch_size=args.batch_size,
+        num_workers=args.num_workers,
+        shuffle=True,
+        seed=5318008,
+    )
+    val_loader = DataLoader(
+        coco_val,
+        batch_size=args.batch_size,
+        num_workers=args.num_workers,
+        shuffle=False,
+    )
+
+    trainer = Trainer(
+        task,
+        mesh=make_mesh(n_data=args.num_devices),
+        max_epochs=args.max_epochs,
+        limit_train_batches=args.limit_train_batches,
+        limit_val_batches=args.limit_val_batches,
+        log_dir=os.path.join(args.default_root_dir, "tb_logs", "multi_pose"),
+        checkpoint=CheckpointCallback(
+            dirpath=os.path.join(args.default_root_dir, "checkpoints"),
+        ),
+        steps_per_epoch_hint=max(1, len(train_loader)),
+    )
+    trainer.init_state()
+
+    if args.pretrained_weights_path:
+        from ..utils.torch_import import load_legacy_centernet_weights
+
+        variables = load_legacy_centernet_weights(
+            args.pretrained_weights_path, task, trainer.state.variables()
+        )
+        trainer.state = trainer.state.replace(
+            params=variables["params"], batch_stats=variables["batch_stats"]
+        )
+
+    if not args.test_only:
+        trainer.fit(train_loader, val_loader)
+
+    test_ds = (
+        (coco_val._load_image(i)[..., ::-1].astype(np.float32) / 255.0, i)
+        for i in coco_val.ids
+    )
+    stats = trainer.test(
+        test_ds, CocoEvaluator(coco_val.coco, "keypoints"), prefix="kp_"
+    )
+    print(stats)
+    return trainer
+
+
+if __name__ == "__main__":
+    cli_main()

@@ -1,0 +1,100 @@
+"""Eval-only CLI (reference: centernet_test.py cli_test, :20-84).
+
+Loads either task, optionally restores a checkpoint or imports legacy torch
+weights, and runs ``trainer.test`` with ``--flip`` / ``--multi_scale`` TTA.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import make_mesh
+from ..parallel.trainer import Trainer
+from ..tasks.detection import CenterNetDetection
+from ..tasks.multi_pose import CenterNetMultiPose
+from ..utils.coco_eval import CocoEvaluator
+from .common import add_model_args
+
+TASKS = {
+    "detection": CenterNetDetection,
+    "multi_pose": CenterNetMultiPose,
+}
+
+MULTI_SCALES = [0.5, 0.75, 1.0, 1.25, 1.5]  # reference centernet_test.py
+
+
+def cli_test(argv=None):
+    parser = argparse.ArgumentParser("centernet_tpu test")
+    parser.add_argument("task", choices=list(TASKS))
+    parser.add_argument("image_root")
+    parser.add_argument("annotation_root")
+    add_model_args(parser)
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--pretrained_weights_path", default=None)
+    parser.add_argument("--flip", action="store_true")
+    parser.add_argument("--multi_scale", action="store_true")
+    parser.add_argument("--precision", default="bf16", choices=["bf16", "f32"])
+    args = parser.parse_args(argv)
+
+    from ..data.coco import CocoDetection
+
+    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    task_cls = TASKS[args.task]
+    task = task_cls(
+        args.arch,
+        test_scales=MULTI_SCALES if args.multi_scale else None,
+        test_flip=args.flip,
+        dtype=dtype,
+    )
+
+    ann_file = (
+        "instances_val2017.json"
+        if args.task == "detection"
+        else "person_keypoints_val2017.json"
+    )
+    coco_val = CocoDetection(
+        os.path.join(args.image_root, "val2017"),
+        os.path.join(args.annotation_root, ann_file),
+    )
+
+    trainer = Trainer(task, mesh=make_mesh())
+    trainer.init_state()
+
+    if args.pretrained_weights_path:
+        from ..utils.torch_import import load_legacy_centernet_weights
+
+        variables = load_legacy_centernet_weights(
+            args.pretrained_weights_path, task, trainer.state.variables()
+        )
+        trainer.state = trainer.state.replace(
+            params=variables["params"], batch_stats=variables["batch_stats"]
+        )
+    elif args.checkpoint:
+        from ..utils.checkpoint import restore_checkpoint
+
+        trainer.state = restore_checkpoint(args.checkpoint, trainer.state)
+
+    prefix = ""
+    if args.multi_scale:
+        prefix += "multi-scale_"
+    if args.flip:
+        prefix += "flip_"
+
+    test_ds = (
+        (coco_val._load_image(i)[..., ::-1].astype(np.float32) / 255.0, i)
+        for i in coco_val.ids
+    )
+    iou_type = "bbox" if args.task == "detection" else "keypoints"
+    stats = trainer.test(
+        test_ds, CocoEvaluator(coco_val.coco, iou_type), prefix=prefix
+    )
+    print(stats)
+    return stats
+
+
+if __name__ == "__main__":
+    cli_test()

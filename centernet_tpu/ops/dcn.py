@@ -33,7 +33,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..models.layers import BN_MOMENTUM
+# torch BN momentum 0.1 == flax decay 0.9 (kept local: importing
+# models.layers here would create a package-import cycle).
+BN_MOMENTUM = 0.9
 
 
 def deform_sample(
