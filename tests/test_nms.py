@@ -1,0 +1,102 @@
+"""Soft-NMS: native C++ core vs a direct transliteration of the reference
+numba loop (utils/nms.py:6-206), including the keypoint-column swap variant."""
+
+import numpy as np
+import pytest
+
+from centernet_tpu.ops import nms
+
+
+def reference_soft_nms(boxes, sigma=0.5, Nt=0.3, threshold=0.001, method=0,
+                       swap_hi=5):
+    """Oracle: literal reference algorithm (column-limited swaps)."""
+    boxes = boxes.copy()
+    N = boxes.shape[0]
+    cols = list(range(5)) + list(range(5, swap_hi))
+    i = 0
+    while i < N:
+        maxpos = i + int(np.argmax(boxes[i:N, 4]))
+        tmp = boxes[i, cols].copy()
+        boxes[i, cols] = boxes[maxpos, cols]
+        boxes[maxpos, cols] = tmp
+        tx1, ty1, tx2, ty2 = boxes[i, :4]
+        pos = i + 1
+        while pos < N:
+            x1, y1, x2, y2 = boxes[pos, :4]
+            area = (x2 - x1 + 1) * (y2 - y1 + 1)
+            iw = min(tx2, x2) - max(tx1, x1) + 1
+            if iw > 0:
+                ih = min(ty2, y2) - max(ty1, y1) + 1
+                if ih > 0:
+                    ua = float(
+                        (tx2 - tx1 + 1) * (ty2 - ty1 + 1) + area - iw * ih
+                    )
+                    ov = iw * ih / ua
+                    if method == 1:
+                        weight = 1 - ov if ov > Nt else 1.0
+                    elif method == 2:
+                        weight = np.exp(-(ov * ov) / sigma)
+                    else:
+                        weight = 0.0 if ov > Nt else 1.0
+                    boxes[pos, 4] = weight * boxes[pos, 4]
+                    if boxes[pos, 4] < threshold:
+                        tmp = boxes[pos, cols].copy()
+                        boxes[pos, cols] = boxes[N - 1, cols]
+                        boxes[N - 1, cols] = tmp
+                        N -= 1
+                        pos -= 1
+            pos += 1
+        i += 1
+    return boxes, N
+
+
+def _random_boxes(n, ncols=5, seed=0, cluster=True):
+    rng = np.random.RandomState(seed)
+    if cluster:
+        # overlapping clusters so NMS actually prunes
+        centers = rng.rand(max(1, n // 8), 2) * 60
+        xy = centers[rng.randint(0, len(centers), n)] + rng.randn(n, 2) * 4
+    else:
+        xy = rng.rand(n, 2) * 100
+    wh = rng.rand(n, 2) * 30 + 10
+    extra = rng.rand(n, max(0, ncols - 5))
+    return np.concatenate(
+        [xy, xy + wh, rng.rand(n, 1), extra], axis=1
+    ).astype(np.float32)
+
+
+@pytest.mark.parametrize("method", [0, 1, 2])
+def test_soft_nms_matches_reference(method):
+    boxes = _random_boxes(80, seed=method)
+    got = boxes.copy()
+    keep = nms.soft_nms(got, Nt=0.3, method=method)
+    want, n_want = reference_soft_nms(boxes, Nt=0.3, method=method)
+    assert len(keep) == n_want
+    np.testing.assert_allclose(got[: len(keep)], want[:n_want], rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("method", [0, 2])
+def test_soft_nms_39_matches_reference(method):
+    boxes = _random_boxes(60, ncols=57, seed=10 + method)
+    got = boxes.copy()
+    keep = nms.soft_nms_39(got, Nt=0.5, method=method)
+    want, n_want = reference_soft_nms(
+        boxes, Nt=0.5, method=method, swap_hi=39
+    )
+    assert len(keep) == n_want
+    # columns 0..38 swapped, 39+ intentionally left behind (reference quirk)
+    np.testing.assert_allclose(
+        got[: len(keep), :39], want[:n_want, :39], rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(got[:, 39:], want[:, 39:], rtol=1e-5)
+
+
+def test_python_fallback_matches_native():
+    if nms._get_lib() is None:
+        pytest.skip("no native lib")
+    boxes = _random_boxes(50, seed=3)
+    b1, b2 = boxes.copy(), boxes.copy()
+    k1 = nms.soft_nms(b1, Nt=0.3, method=2)
+    n2 = nms._soft_nms_py(b2, 0.5, 0.3, 0.001, 2, 5, 5)
+    assert len(k1) == n2
+    np.testing.assert_allclose(b1, b2, rtol=1e-5, atol=1e-6)
