@@ -49,52 +49,102 @@ def deform_sample(
 ) -> jax.Array:
     """Modulated deformable im2col: returns [B, Ho, Wo, KK, Ci].
 
-    Offset channel layout matches DCNv2: for tap kk, channels (2kk, 2kk+1) are
-    (dy, dx).
+    Offset channel layout matches DCNv2: for tap kk, channels (2kk, 2kk+1)
+    are (dy, dx).
+
+    TPU note: all four bilinear corners are fetched with ONE ``lax.gather``
+    of [2, 2, Ci] blocks from a 1-pixel bottom/right zero-padded copy of the
+    input — 4x less HBM traffic and 4x fewer gather ops than per-corner
+    row gathers, which is what dominates this op's runtime on TPU.
+    """
+    cols = _tap_columns(x, offsets, kernel_size, stride, padding, dilation)
+    out = jnp.stack(cols, axis=3)  # [B, Ho, Wo, KK, Ci]
+    return out * mask[..., None].astype(x.dtype)
+
+
+_GATHER_DNUMS = jax.lax.GatherDimensionNumbers(
+    offset_dims=(1, 2, 3),
+    collapsed_slice_dims=(),
+    start_index_map=(0, 1),
+)
+
+
+def _tap_columns(x, offsets, kernel_size, stride, padding, dilation):
+    """Per-tap deformable bilinear sampling (shared by deform_sample and
+    dcn_v2). Returns a list of KK arrays [B, Ho, Wo, Ci].
+
+    Processing tap-by-tap caps the materialized gather intermediate at
+    [B, Ho*Wo, 2, 2, Ci] per tap instead of KK times that.
     """
     b, h, w, ci = x.shape
     kk = kernel_size * kernel_size
     ho = (h + 2 * padding - dilation * (kernel_size - 1) - 1) // stride + 1
     wo = (w + 2 * padding - dilation * (kernel_size - 1) - 1) // stride + 1
 
-    # Base sampling grid per output position and tap.
     oy = jax.lax.broadcasted_iota(jnp.float32, (ho, wo), 0) * stride - padding
     ox = jax.lax.broadcasted_iota(jnp.float32, (ho, wo), 1) * stride - padding
-    ky = jnp.arange(kernel_size, dtype=jnp.float32) * dilation
-    kx = jnp.arange(kernel_size, dtype=jnp.float32) * dilation
-    base_y = oy[:, :, None] + jnp.repeat(ky, kernel_size)[None, None, :]  # [Ho,Wo,KK]
-    base_x = ox[:, :, None] + jnp.tile(kx, kernel_size)[None, None, :]
-
     off = offsets.reshape(b, ho, wo, kk, 2)
-    py = base_y[None] + off[..., 0]  # [B, Ho, Wo, KK]
-    px = base_x[None] + off[..., 1]
+    xpad = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
 
-    # Bilinear corners with zero padding outside the image.
-    y0 = jnp.floor(py)
-    x0 = jnp.floor(px)
-    wy1 = py - y0
-    wx1 = px - x0
-    wy0 = 1.0 - wy1
-    wx0 = 1.0 - wx1
+    def gather_one(xp, st):
+        return jax.lax.gather(
+            xp,
+            st,
+            _GATHER_DNUMS,
+            slice_sizes=(2, 2, ci),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )
 
-    flat = x.reshape(b, h * w, ci)
+    cols = []
+    for k in range(kk):
+        ky = (k // kernel_size) * dilation
+        kx = (k % kernel_size) * dilation
+        py = oy[None] + ky + off[:, :, :, k, 0]  # [B, Ho, Wo]
+        px = ox[None] + kx + off[:, :, :, k, 1]
 
-    def corner(yc, xc, wgt):
-        inb = (yc >= 0) & (yc < h) & (xc >= 0) & (xc < w)
-        yi = jnp.clip(yc, 0, h - 1).astype(jnp.int32)
-        xi = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
-        idx = (yi * w + xi).reshape(b, -1)  # [B, Ho*Wo*KK]
-        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
-        vals = vals.reshape(b, ho, wo, kk, ci)
-        return vals * (wgt * inb.astype(x.dtype))[..., None]
+        y0f = jnp.floor(py)
+        x0f = jnp.floor(px)
+        wy1 = py - y0f
+        wx1 = px - x0f
+        wy0 = 1.0 - wy1
+        wx0 = 1.0 - wx1
 
-    out = (
-        corner(y0, x0, wy0 * wx0)
-        + corner(y0, x0 + 1, wy0 * wx1)
-        + corner(y0 + 1, x0, wy1 * wx0)
-        + corner(y0 + 1, x0 + 1, wy1 * wx1)
-    )
-    return out * mask[..., None]
+        def _inb(yc, xc):
+            return ((yc >= 0) & (yc < h) & (xc >= 0) & (xc < w)).astype(x.dtype)
+
+        # [B, Ho, Wo, 2, 2] corner weights with zero-outside masking.
+        cw = jnp.stack(
+            [
+                jnp.stack(
+                    [wy0 * wx0 * _inb(y0f, x0f), wy0 * wx1 * _inb(y0f, x0f + 1)],
+                    axis=-1,
+                ),
+                jnp.stack(
+                    [
+                        wy1 * wx0 * _inb(y0f + 1, x0f),
+                        wy1 * wx1 * _inb(y0f + 1, x0f + 1),
+                    ],
+                    axis=-1,
+                ),
+            ],
+            axis=-2,
+        ).astype(x.dtype)
+
+        y0 = jnp.clip(y0f, 0, h - 1).astype(jnp.int32)
+        x0 = jnp.clip(x0f, 0, w - 1).astype(jnp.int32)
+        starts = jnp.stack([y0, x0], axis=-1).reshape(b, ho * wo, 2)
+
+        blocks = jax.vmap(gather_one)(xpad, starts)  # [B, N, 2, 2, Ci]
+        blocks = blocks.reshape(b, ho, wo, 2, 2, ci)
+        cols.append(
+            jnp.einsum(
+                "bhwyx,bhwyxc->bhwc",
+                cw,
+                blocks,
+                preferred_element_type=x.dtype,
+            )
+        )
+    return cols
 
 
 def dcn_v2(
@@ -108,17 +158,26 @@ def dcn_v2(
     padding: int = 1,
     dilation: int = 1,
 ) -> jax.Array:
-    """Modulated deformable conv forward: [B, Ho, Wo, Co]."""
-    cols = deform_sample(
-        x, offsets, mask, kernel_size, stride, padding, dilation
-    )  # [B,Ho,Wo,KK,Ci]
-    b, ho, wo, kk, ci = cols.shape
-    out = jnp.einsum(
-        "bhwk,kc->bhwc",
-        cols.reshape(b, ho, wo, kk * ci),
-        weight,
-        preferred_element_type=jnp.float32,
-    )
+    """Modulated deformable conv forward: [B, Ho, Wo, Co].
+
+    Accumulates tap-by-tap so the im2col intermediate never materializes at
+    full [.., KK, Ci] size: each tap contributes one [Ci -> Co] matmul on the
+    MXU with f32 accumulation.
+    """
+    kk = kernel_size * kernel_size
+    ci = x.shape[-1]
+    cols = _tap_columns(x, offsets, kernel_size, stride, padding, dilation)
+    w_taps = weight.reshape(kk, ci, weight.shape[-1])
+    out = None
+    for k in range(kk):
+        col_k = cols[k] * mask[..., k : k + 1].astype(cols[k].dtype)
+        term = jnp.einsum(
+            "bhwc,co->bhwo",
+            col_k,
+            w_taps[k],
+            preferred_element_type=jnp.float32,
+        )
+        out = term if out is None else out + term
     return out + bias
 
 
