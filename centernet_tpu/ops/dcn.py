@@ -456,13 +456,19 @@ class DCN(nn.Module):
         import os
 
         kk = self.kernel_size * self.kernel_size
-        # Implementation selection (CENTERNET_TPU_DCN_IMPL):
-        #   window (default) — floating-window gather + MXU one-hot readout,
-        #     ~10-30x faster on TPU; exact unless a position's tap spread
-        #     exceeds the window (see window_deform_conv docstring).
-        #   gather — exact per-tap corner block gathers.
+        # Implementation selection (CENTERNET_TPU_DCN_IMPL). Measured on v5e,
+        # 128x128x64, per image: gather 3.6 ms / stencil(r=2) 2.4 ms /
+        # window 3.8 ms / pallas-stencil 4.7 ms (r=3; relayout-bound, see
+        # dcn_pallas.py). All are far from the ~0.05 ms dense-op bound —
+        # XLA's TPU gather moves ~25 GB/s and the stencil re-reads HBM per
+        # shift; the planned fix is a lane-transposed Pallas stencil.
+        #   gather (default) — exact DCNv2 semantics, unbounded offsets.
+        #   stencil — offsets clamped to +-radius(4), dense shifted reads.
+        #   window — floating 8x8 window gather + MXU one-hot readout;
+        #     exact unless a position's tap spread exceeds the window.
+        #   pallas — experimental Pallas stencil kernel.
         #   conv — plain convolution ablation (non-deformable diagnostic).
-        impl = os.environ.get("CENTERNET_TPU_DCN_IMPL", "window")
+        impl = os.environ.get("CENTERNET_TPU_DCN_IMPL", "gather")
         conv_offset = nn.Conv(
             3 * kk,
             (self.kernel_size, self.kernel_size),
@@ -496,6 +502,34 @@ class DCN(nn.Module):
                 self.stride,
                 self.padding,
                 self.dilation,
+            )
+        if impl == "stencil":
+            return stencil_deform_conv(
+                x,
+                offsets,
+                mask,
+                weight,
+                bias,
+                self.kernel_size,
+                self.stride,
+                self.padding,
+                self.dilation,
+                radius=4,
+            )
+        if impl == "pallas":
+            from .dcn_pallas import pallas_stencil_deform_conv
+
+            return pallas_stencil_deform_conv(
+                x,
+                offsets,
+                mask,
+                weight,
+                bias,
+                self.kernel_size,
+                self.stride,
+                self.padding,
+                self.dilation,
+                radius=4,
             )
         if impl == "conv":
             k = self.kernel_size
