@@ -37,6 +37,10 @@ def add_data_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--num_workers", type=int, default=8)
     parser.add_argument("--pretrained_weights_path", default=None)
+    parser.add_argument(
+        "--input_size", type=int, default=512,
+        help="square training resolution (reference trains at 512)",
+    )
 
 
 def parse_milestones(spec: str) -> List[int]:

@@ -30,11 +30,11 @@ from ..utils.coco_eval import CocoEvaluator
 from .common import add_data_args, add_model_args, add_trainer_args, parse_milestones
 
 
-def build_pipelines(task):
+def build_pipelines(task, input_size: int = 512):
     norm = Normalize(task.mean, task.std)
     train_transform = ComposeSample(
         [
-            ImageAugmentation(pose_train_augmenter(), norm),
+            ImageAugmentation(pose_train_augmenter(input_size), norm),
             PoseFlip(0.5),
             MultiSampleTransform(
                 [CenterDetectionSample(num_classes=1), MultiPoseSample()]
@@ -43,7 +43,7 @@ def build_pipelines(task):
     )
     valid_transform = ComposeSample(
         [
-            ImageAugmentation(eval_augmenter(), norm),
+            ImageAugmentation(eval_augmenter(input_size), norm),
             MultiSampleTransform(
                 [CenterDetectionSample(num_classes=1), MultiPoseSample()]
             ),
@@ -71,7 +71,7 @@ def cli_main(argv=None):
         dtype=dtype,
     )
 
-    train_transform, valid_transform = build_pipelines(task)
+    train_transform, valid_transform = build_pipelines(task, args.input_size)
     coco_train = CocoDetection(
         os.path.join(args.image_root, "train2017"),
         os.path.join(args.annotation_root, "person_keypoints_train2017.json"),
@@ -109,7 +109,7 @@ def cli_main(argv=None):
         ),
         steps_per_epoch_hint=max(1, len(train_loader)),
     )
-    trainer.init_state()
+    trainer.init_state(input_hw=(args.input_size, args.input_size))
 
     if args.pretrained_weights_path:
         from ..utils.torch_import import load_legacy_centernet_weights

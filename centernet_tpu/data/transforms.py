@@ -329,11 +329,13 @@ class Fliplr(AffineAugmenter):
 
 
 def detection_train_augmenter(out_size: int = 512) -> AffineAugmenter:
-    """Reference detection train policy (centernet_detection.py:291-315)."""
+    """Reference detection train policy (centernet_detection.py:291-315).
+    The 500-px working size scales with non-default ``out_size``."""
+    work = round(out_size * 500 / 512)
     return AffineAugmenter(
         out_size=(out_size, out_size),
-        working_size=500,
-        longer_side=500,
+        working_size=work,
+        longer_side=work,
         flip_prob=0.5,
         blur_prob=0.5,
         blur_sigma=(0.0, 0.5),
@@ -351,10 +353,11 @@ def detection_train_augmenter(out_size: int = 512) -> AffineAugmenter:
 def pose_train_augmenter(out_size: int = 512) -> AffineAugmenter:
     """Reference pose train policy (centernet_multi_pose.py:346-368) — no
     fliplr here; keypoint-aware ``PoseFlip`` handles flipping."""
+    work = round(out_size * 500 / 512)
     return AffineAugmenter(
         out_size=(out_size, out_size),
-        working_size=500,
-        longer_side=500,
+        working_size=work,
+        longer_side=work,
         flip_prob=0.0,
         blur_prob=0.25,
         blur_sigma=(0.0, 0.5),
@@ -374,7 +377,7 @@ def eval_augmenter(out_size: int = 512) -> AffineAugmenter:
     return AffineAugmenter(
         out_size=(out_size, out_size),
         working_size=None,
-        longer_side=500,
+        longer_side=round(out_size * 500 / 512),
         center_pad=True,
     )
 

@@ -40,6 +40,7 @@ def _kernel(
     bias_ref,  # [1, CO] VMEM
     out_ref,  # [1, TH, W, CO] VMEM
     x_tile,  # scratch VMEM [TH + 2*margin, W2, C2]
+    x_shift,  # scratch VMEM [NSHIFT, TH + 2*margin, W, C2] — aligned shifts
     col_ref,  # scratch VMEM [TH, W, C2] — per-tap deformed columns
     acc_ref,  # scratch VMEM [TH*W, CO] f32 — output accumulator
     sem,  # DMA semaphore
@@ -74,6 +75,14 @@ def _kernel(
 
     copy.wait()
 
+    # Pre-shift the tile into lane/sublane-ALIGNED copies, one per distinct
+    # absolute column shift — this pays the unaligned-slice relayout once
+    # per shift instead of once per (tap, dy, dx) term.
+    n_shift = 2 * r + 2 + kernel_size - 1  # distinct absolute sx values
+    sx0 = -padding - r  # smallest absolute column shift
+    for s in range(n_shift):
+        x_shift[s] = x_tile[:, margin + sx0 + s : margin + sx0 + s + width, :]
+
     acc_ref[...] = jnp.zeros_like(acc_ref)
     for k in range(kk):
         ky = (k // kernel_size) * dilation - padding
@@ -94,11 +103,7 @@ def _kernel(
                 sx = kx - r + dx
                 wx = jnp.maximum(0.0, 1.0 - jnp.abs(tx - float(sx)))
                 wgt = (wy * wx).astype(x_tile.dtype)
-                patch = x_tile[
-                    pl.ds(margin + sy, th),
-                    margin + sx : margin + sx + width,
-                    :,
-                ]
+                patch = x_shift[sx - sx0, pl.ds(margin + sy, th), :, :]
                 contrib = contrib + wgt[:, :, None] * patch
             col_ref[...] += contrib
             return 0
@@ -207,6 +212,10 @@ def pallas_stencil_deform_conv(
         out_shape=jax.ShapeDtypeStruct((b, h, w, co), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((th + 2 * margin, w2, c2), x.dtype),
+            pltpu.VMEM(
+                (2 * radius + 2 + kernel_size - 1, th + 2 * margin, w, c2),
+                x.dtype,
+            ),
             pltpu.VMEM((th, w, c2), x.dtype),
             pltpu.VMEM((th * w, co), jnp.float32),
             pltpu.SemaphoreType.DMA,

@@ -1,0 +1,92 @@
+"""End-to-end CLI smoke: a generated mini COCO dataset through
+``cli/detection.py`` (train 1 epoch, 1 batch) and ``cli/test.py``-equivalent
+eval — exercises CocoDetection, loaders, trainer, checkpointing, COCO eval."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _make_mini_coco(root):
+    img_dir = os.path.join(root, "images", "train2017")
+    val_dir = os.path.join(root, "images", "val2017")
+    ann_dir = os.path.join(root, "annotations")
+    os.makedirs(img_dir)
+    os.makedirs(val_dir)
+    os.makedirs(ann_dir)
+
+    images, annotations = [], []
+    aid = 1
+    rng = np.random.RandomState(0)
+    for i in range(8):
+        name = f"{i:012d}.jpg"
+        img = (rng.rand(128, 160, 3) * 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(img_dir, name), img)
+        cv2.imwrite(os.path.join(val_dir, name), img)
+        images.append({"id": i, "file_name": name, "width": 160, "height": 128})
+        for _ in range(2):
+            x, y = rng.randint(5, 80), rng.randint(5, 60)
+            w, h = rng.randint(15, 60), rng.randint(15, 50)
+            annotations.append(
+                {
+                    "id": aid,
+                    "image_id": i,
+                    "category_id": 1,
+                    "bbox": [float(x), float(y), float(w), float(h)],
+                    "area": float(w * h),
+                    "iscrowd": 0,
+                }
+            )
+            aid += 1
+    coco = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": 1, "name": "person"}],
+    }
+    for name in ("instances_train2017.json", "instances_val2017.json"):
+        with open(os.path.join(ann_dir, name), "w") as f:
+            json.dump(coco, f)
+    return os.path.join(root, "images"), ann_dir
+
+
+def test_detection_cli_end_to_end(tmp_path):
+    from centernet_tpu.cli.detection import cli_main
+
+    image_root, ann_root = _make_mini_coco(str(tmp_path))
+    trainer = cli_main(
+        [
+            image_root,
+            ann_root,
+            "--arch",
+            "res_18",
+            "--batch_size",
+            "8",
+            "--num_workers",
+            "2",
+            "--max_epochs",
+            "1",
+            "--limit_train_batches",
+            "1",
+            "--limit_val_batches",
+            "1",
+            "--num_devices",
+            "8",
+            "--input_size",
+            "128",
+            "--precision",
+            "f32",
+            "--default_root_dir",
+            str(tmp_path / "runs"),
+        ]
+    )
+    assert int(trainer.state.step) == 1
+    # checkpoints written (save_last)
+    assert os.path.isdir(tmp_path / "runs" / "checkpoints" / "last")
+    # metrics logged
+    assert os.path.exists(
+        tmp_path / "runs" / "tb_logs" / "detection" / "metrics.jsonl"
+    )
