@@ -491,8 +491,13 @@ class DCN(nn.Module):
             (kk * ci, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        # Rematerialize the deformable sampling in the backward pass: the
+        # per-tap gathered corner blocks are large ([B, HW, 2, 2, Ci] x 9
+        # taps x 14 layers blows HBM at 512^2 training) but cheap to
+        # recompute relative to saving them.
+        remat = jax.checkpoint
         if impl == "window":
-            return window_deform_conv(
+            return remat(window_deform_conv, static_argnums=(5, 6, 7, 8))(
                 x,
                 offsets,
                 mask,
@@ -504,7 +509,7 @@ class DCN(nn.Module):
                 self.dilation,
             )
         if impl == "stencil":
-            return stencil_deform_conv(
+            return remat(stencil_deform_conv, static_argnums=(5, 6, 7, 8, 9))(
                 x,
                 offsets,
                 mask,
@@ -545,7 +550,7 @@ class DCN(nn.Module):
                 preferred_element_type=jnp.float32,
             )
             return y * jnp.mean(mask, axis=-1, keepdims=True) + bias
-        return dcn_v2(
+        return remat(dcn_v2, static_argnums=(5, 6, 7, 8))(
             x,
             offsets,
             mask,

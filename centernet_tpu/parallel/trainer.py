@@ -149,6 +149,7 @@ class Trainer:
         checkpoint: Optional[CheckpointCallback] = None,
         steps_per_epoch_hint: int = 1,
         seed: int = 5318008,
+        log_every_n_steps: int = 50,
     ):
         self.task = task
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -158,6 +159,7 @@ class Trainer:
         self.logger = MetricsLogger(log_dir)
         self.checkpoint = checkpoint
         self.seed = seed
+        self.log_every_n_steps = max(1, log_every_n_steps)
 
         self.tx = task.configure_optimizer(steps_per_epoch_hint)
         self._train_step = None
@@ -221,10 +223,17 @@ class Trainer:
                 batch = self._put_batch(batch)
                 n_images += batch[0].shape[0]
                 self.state, stats = self._train_step(self.state, batch)
-                self.logger.log_step(
-                    int(self.state.step),
-                    {f"train/{k}": float(v) for k, v in stats.items()},
-                )
+                # Fetching metrics synchronizes with the device (and pays
+                # the full transfer round trip on remote runtimes) — only do
+                # it on the logging cadence; other steps stay fully async.
+                if (i + 1) % self.log_every_n_steps == 0 or (
+                    self.limit_train_batches is not None
+                    and i + 1 >= self.limit_train_batches
+                ):
+                    self.logger.log_step(
+                        int(self.state.step),
+                        {f"train/{k}": float(v) for k, v in stats.items()},
+                    )
             train_time = time.time() - t0
 
             metrics: Dict[str, float] = {
