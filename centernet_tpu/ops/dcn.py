@@ -462,13 +462,19 @@ class DCN(nn.Module):
         # dcn_pallas.py). All are far from the ~0.05 ms dense-op bound —
         # XLA's TPU gather moves ~25 GB/s and the stencil re-reads HBM per
         # shift; the planned fix is a lane-transposed Pallas stencil.
-        #   gather (default) — exact DCNv2 semantics, unbounded offsets.
-        #   stencil — offsets clamped to +-radius(4), dense shifted reads.
+        # The backward of a gather is a scatter-add, which is ~100x slower
+        # than the (already slow) gather on TPU — gather-path DCN trains at
+        # 0.3 img/s vs the stencil's all-dense backward. Hence:
+        #   stencil (default) — offsets clamped to +-radius(4), dense
+        #     shifted reads, dense backward; the TRAINABLE fast path.
+        #   gather — exact DCNv2 semantics (unbounded offsets); use for
+        #     inference with imported torch weights when bit-exactness
+        #     matters. Untrainably slow backward.
         #   window — floating 8x8 window gather + MXU one-hot readout;
         #     exact unless a position's tap spread exceeds the window.
         #   pallas — experimental Pallas stencil kernel.
         #   conv — plain convolution ablation (non-deformable diagnostic).
-        impl = os.environ.get("CENTERNET_TPU_DCN_IMPL", "gather")
+        impl = os.environ.get("CENTERNET_TPU_DCN_IMPL", "stencil")
         conv_offset = nn.Conv(
             3 * kk,
             (self.kernel_size, self.kernel_size),
@@ -519,7 +525,7 @@ class DCN(nn.Module):
                 self.stride,
                 self.padding,
                 self.dilation,
-                radius=4,
+                4,  # radius
             )
         if impl == "pallas":
             from .dcn_pallas import pallas_stencil_deform_conv
