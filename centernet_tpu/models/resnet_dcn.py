@@ -30,7 +30,7 @@ class PoseResNetDCN(nn.Module):
         block, layers = RESNET_SPEC[self.num_layers]
         x = ResNetStages(block, layers, dtype=self.dtype, name="resnet")(x, train)
         for i, planes in enumerate([256, 128, 64]):
-            x = DCN(planes, dtype=self.dtype, name=f"dcn{i}")(x)
+            x = DCN(planes, dtype=self.dtype, name=f"dcn{i}")(x, train)
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=BN_MOMENTUM,
                 name=f"dcn_bn{i}",

@@ -8,24 +8,26 @@ sigmoid); the main conv then samples its K*K taps at the deformed positions
 with bilinear interpolation, scales each tap by the mask, and contracts with
 the weights.
 
-TPU design. TPU gathers are index-rate-bound (~20 ns per index regardless of
-slice size — measured on v5e), so the implementation hierarchy is:
+TPU design. Deformable sampling is a scatter/gather workload that maps badly
+onto the TPU's dense units: XLA's TPU gather moves ~25-35 GB/s (measured on
+v5e, any slice shape) and its BACKWARD is a scatter-add that is another two
+orders of magnitude slower. The implementation hierarchy:
 
-* ``window_deform_conv`` (default) — ONE gather per output position of an
-  8x8xCi "floating window" anchored at that position's minimum sampled
-  coordinate; all 9 taps and their bilinear corners are then read out of the
-  window with one-hot MXU contractions. 9x fewer gather indices than
-  per-tap sampling. Exact unless one position's tap spread exceeds the
-  window (documented clamp).
-* ``dcn_v2`` / ``deform_sample`` — exact path: per tap, all four bilinear
-  corners fetched with one ``lax.gather`` of [2, 2, Ci] blocks, scanned over
-  taps with f32 accumulation into the output.
+* ``stencil_deform_conv`` (training default) — gather-free: offsets clamped
+  to +-radius, each tap's bilinear sample expanded over the (2r+2)^2 static
+  integer shifts it can touch (dense VPU stencil + per-tap MXU matmul),
+  with a custom VJP whose backward is the transposed stencil — all dense.
+* ``dcn_v2`` / ``deform_sample`` (inference default) — exact unbounded
+  semantics: per tap, all four bilinear corners fetched with one
+  ``lax.gather`` of [2, 2, Ci] blocks, scanned over taps.
+* ``window_deform_conv`` — ONE gather per output position of an 8x8xCi
+  floating window + one-hot MXU readout; exact unless a position's tap
+  spread exceeds the window.
+* ``dcn_pallas.pallas_stencil_deform_conv`` — experimental Pallas kernel.
 * plain-conv ablation (CENTERNET_TPU_DCN_IMPL=conv) for perf attribution.
 
-``jax.grad`` differentiates all paths (bilinear sampling is
-piecewise-linear in offsets and linear in the input), so no custom VJP is
-required. Out-of-bounds samples contribute zero, matching the reference
-CUDA kernel's semantics.
+Out-of-bounds samples contribute zero, matching the reference CUDA kernel's
+semantics.
 """
 
 from __future__ import annotations
@@ -564,29 +566,24 @@ class DCN(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         import os
 
         kk = self.kernel_size * self.kernel_size
-        # Implementation selection (CENTERNET_TPU_DCN_IMPL). Measured on v5e,
-        # 128x128x64, per image: gather 3.6 ms / stencil(r=2) 2.4 ms /
-        # window 3.8 ms / pallas-stencil 4.7 ms (r=3; relayout-bound, see
-        # dcn_pallas.py). All are far from the ~0.05 ms dense-op bound —
-        # XLA's TPU gather moves ~25 GB/s and the stencil re-reads HBM per
-        # shift; the planned fix is a lane-transposed Pallas stencil.
-        # The backward of a gather is a scatter-add, which is ~100x slower
-        # than the (already slow) gather on TPU — gather-path DCN trains at
-        # 0.3 img/s vs the stencil's all-dense backward. Hence:
-        #   stencil (default) — offsets clamped to +-radius(4), dense
-        #     shifted reads, dense backward; the TRAINABLE fast path.
-        #   gather — exact DCNv2 semantics (unbounded offsets); use for
-        #     inference with imported torch weights when bit-exactness
-        #     matters. Untrainably slow backward.
-        #   window — floating 8x8 window gather + MXU one-hot readout;
-        #     exact unless a position's tap spread exceeds the window.
-        #   pallas — experimental Pallas stencil kernel.
-        #   conv — plain convolution ablation (non-deformable diagnostic).
-        impl = os.environ.get("CENTERNET_TPU_DCN_IMPL", "stencil")
+        # Implementation selection. Measured on v5e (dla_34, 512^2, bf16):
+        #   training img/s/chip: stencil-vjp 1.9 / gather 0.3 (a gather's
+        #     backward is a scatter-add, ~100x slower than the gather);
+        #   inference img/s/chip: gather 34 / stencil(r=4) 9.
+        # Hence the mode-adaptive default: stencil (custom dense VJP,
+        # offsets clamped to +-4, zero grad beyond) when training; the exact
+        # unbounded gather path at inference. All paths remain far from the
+        # ~0.05 ms/layer dense-op bound — XLA's TPU gather moves ~25 GB/s —
+        # the planned fix is a lane-transposed Pallas stencil kernel
+        # (see dcn_pallas.py). CENTERNET_TPU_DCN_IMPL overrides:
+        # gather | stencil | window | pallas | conv (plain-conv ablation).
+        impl = os.environ.get(
+            "CENTERNET_TPU_DCN_IMPL", "stencil" if train else "gather"
+        )
         conv_offset = nn.Conv(
             3 * kk,
             (self.kernel_size, self.kernel_size),
@@ -691,7 +688,7 @@ class DeformConvBNAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = DCN(self.features, dtype=self.dtype, name="conv")(x)
+        x = DCN(self.features, dtype=self.dtype, name="conv")(x, train)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM
         )(x)
