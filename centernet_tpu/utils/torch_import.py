@@ -274,9 +274,16 @@ def _map_heads(w: _Writer, sd_heads: Mapping[str, Mapping[str, np.ndarray]],
 
 
 def _merge(dst, src, path=()):
-    """Overlay src dict onto a copy of dst (plain dicts), checking shapes."""
+    """Overlay src dict onto a copy of dst (plain dicts). Strict: every
+    imported path must already exist in the target tree (catches name-map
+    typos instead of silently creating orphan parameters) and shapes must
+    match."""
     out = dict(dst)
     for k, v in src.items():
+        if k not in dst:
+            raise KeyError(
+                f"import writes unknown parameter path {'/'.join(path + (k,))}"
+            )
         if isinstance(v, dict):
             out[k] = _merge(dst.get(k, {}), v, path + (k,))
         else:
