@@ -31,6 +31,19 @@ def _make_mini_coco(root):
         for _ in range(2):
             x, y = rng.randint(5, 80), rng.randint(5, 60)
             w, h = rng.randint(15, 60), rng.randint(15, 50)
+            kps = []
+            n_vis = 0
+            for j in range(17):
+                vis = int(rng.randint(0, 3))
+                if vis == 0:
+                    kps += [0.0, 0.0, 0]
+                else:
+                    n_vis += 1
+                    kps += [
+                        float(x + rng.rand() * w),
+                        float(y + rng.rand() * h),
+                        vis,
+                    ]
             annotations.append(
                 {
                     "id": aid,
@@ -39,15 +52,28 @@ def _make_mini_coco(root):
                     "bbox": [float(x), float(y), float(w), float(h)],
                     "area": float(w * h),
                     "iscrowd": 0,
+                    "keypoints": kps,
+                    "num_keypoints": n_vis,
                 }
             )
             aid += 1
     coco = {
         "images": images,
         "annotations": annotations,
-        "categories": [{"id": 1, "name": "person"}],
+        "categories": [
+            {
+                "id": 1,
+                "name": "person",
+                "keypoints": [f"k{j}" for j in range(17)],
+            }
+        ],
     }
-    for name in ("instances_train2017.json", "instances_val2017.json"):
+    for name in (
+        "instances_train2017.json",
+        "instances_val2017.json",
+        "person_keypoints_train2017.json",
+        "person_keypoints_val2017.json",
+    ):
         with open(os.path.join(ann_dir, name), "w") as f:
             json.dump(coco, f)
     return os.path.join(root, "images"), ann_dir
@@ -90,3 +116,37 @@ def test_detection_cli_end_to_end(tmp_path):
     assert os.path.exists(
         tmp_path / "runs" / "tb_logs" / "detection" / "metrics.jsonl"
     )
+
+
+def test_multi_pose_cli_end_to_end(tmp_path):
+    from centernet_tpu.cli.multi_pose import cli_main
+
+    image_root, ann_root = _make_mini_coco(str(tmp_path))
+    trainer = cli_main(
+        [
+            image_root,
+            ann_root,
+            "--arch",
+            "res_18",
+            "--batch_size",
+            "8",
+            "--num_workers",
+            "2",
+            "--max_epochs",
+            "1",
+            "--limit_train_batches",
+            "1",
+            "--limit_val_batches",
+            "1",
+            "--num_devices",
+            "8",
+            "--input_size",
+            "128",
+            "--precision",
+            "f32",
+            "--default_root_dir",
+            str(tmp_path / "runs"),
+        ]
+    )
+    assert int(trainer.state.step) == 1
+    assert os.path.isdir(tmp_path / "runs" / "checkpoints" / "last")
