@@ -124,7 +124,13 @@ def cli_main(argv=None):
         )
 
     if not args.test_only:
-        trainer.fit(train_loader, val_loader)
+        if args.profile:
+            from ..utils.profiling import trace
+
+            with trace(os.path.join(args.default_root_dir, "profile")):
+                trainer.fit(train_loader, val_loader)
+        else:
+            trainer.fit(train_loader, val_loader)
 
     # TTA test + COCO eval (reference :412-418 uses the val set).
     test_ds = (

@@ -122,7 +122,13 @@ def cli_main(argv=None):
         )
 
     if not args.test_only:
-        trainer.fit(train_loader, val_loader)
+        if args.profile:
+            from ..utils.profiling import trace
+
+            with trace(os.path.join(args.default_root_dir, "profile")):
+                trainer.fit(train_loader, val_loader)
+        else:
+            trainer.fit(train_loader, val_loader)
 
     test_ds = (
         (coco_val._load_image(i)[..., ::-1].astype(np.float32) / 255.0, i)

@@ -161,6 +161,7 @@ class Trainer:
         self.seed = seed
         self.log_every_n_steps = max(1, log_every_n_steps)
 
+        self.steps_per_epoch = max(1, steps_per_epoch_hint)
         self.tx = task.configure_optimizer(steps_per_epoch_hint)
         self._train_step = None
         self._eval_step = None
@@ -276,7 +277,7 @@ class Trainer:
             count = int(self.state.step)
             if self.task.learning_rate_milestones:
                 # mirror the optax piecewise schedule
-                spe = max(1, getattr(self, "steps_per_epoch", 1))
+                spe = self.steps_per_epoch
                 for m in self.task.learning_rate_milestones:
                     if count >= int(m) * spe:
                         lr *= 0.1
