@@ -287,6 +287,54 @@ class Trainer:
 
     # -- eval / test -----------------------------------------------------------
 
+    def test_batched(
+        self,
+        dataset,
+        coco_eval=None,
+        prefix: str = "",
+        batch_size: int = 16,
+        input_size: int = 512,
+    ) -> Dict[str, float]:
+        """Batched single-scale evaluation (production serving path): all
+        images share one fixed shape, one device round trip per batch —
+        orders of magnitude less host<->device latency than the per-image
+        reference-style TTA loop in ``test``."""
+        import jax.numpy as jnp
+
+        results = []
+        buf_imgs, buf_metas, buf_ids = [], [], []
+
+        def flush():
+            if not buf_imgs:
+                return
+            images = jnp.stack(buf_imgs)
+            dets = self.task.predict_batch(
+                self.state.variables(), images, buf_metas
+            )
+            results.extend(zip(buf_ids, dets))
+            buf_imgs.clear()
+            buf_metas.clear()
+            buf_ids.clear()
+
+        for img, image_id in dataset:
+            im, meta = self.task.prepare_image_fixed(img, input_size)
+            buf_imgs.append(im)
+            buf_metas.append(meta)
+            buf_ids.append(image_id)
+            if len(buf_imgs) == batch_size:
+                flush()
+        flush()
+
+        if coco_eval is None:
+            return {}
+        coco_results = []
+        for image_id, det in results:
+            coco_results.extend(self.task.to_coco_format(image_id, det))
+        stats = coco_eval(coco_results)
+        out = {f"test/{prefix}{k}": float(v) for k, v in stats.items()}
+        self.logger.log_epoch(-1, out)
+        return out
+
     def test(self, dataset, coco_eval=None, prefix: str = "") -> Dict[str, float]:
         """Run TTA prediction over a dataset of (img_hwc, image_id) and, when
         a COCO ground-truth evaluator is given, compute AP stats

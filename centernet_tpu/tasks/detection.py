@@ -201,6 +201,50 @@ class CenterNetDetection(CenterNet):
                 results[j] = results[j][results[j][:, 4] >= thresh]
         return results
 
+    # -- batched fixed-shape serving path -----------------------------------------
+
+    def prepare_image_fixed(self, img_hwc: np.ndarray, size: int = 512):
+        """Resize longest side to ``size`` and center-pad to ``size`` x
+        ``size`` (the reference's validation geometry) — every image lands on
+        the same shape so inference batches.
+
+        Returns (image [size, size, 3] normalized, meta for undoing)."""
+        h, w = img_hwc.shape[:2]
+        scale = size / max(h, w)
+        new_h, new_w = round(h * scale), round(w * scale)
+        img = jax.image.resize(
+            jnp.asarray(img_hwc, jnp.float32), (new_h, new_w, 3), "bilinear"
+        )
+        pad_t = (size - new_h) // 2
+        pad_l = (size - new_w) // 2
+        img = jnp.pad(
+            img, ((pad_t, size - new_h - pad_t), (pad_l, size - new_w - pad_l),
+                  (0, 0))
+        )
+        img = (img - jnp.asarray(self.mean)) / jnp.asarray(self.std)
+        meta = {"scale": [new_w / w, new_h / h], "padding": [pad_l, pad_t]}
+        return img, meta
+
+    def predict_batch(
+        self, variables, images: "jnp.ndarray", metas: List[dict]
+    ) -> List[Dict[int, np.ndarray]]:
+        """Batched single-scale inference: one device round trip for the
+        whole batch, host-side per-image unpadding/grouping."""
+        dets = np.array(self._infer_decode_jit(variables, images, False))
+        results = []
+        for det, meta in zip(dets, metas):
+            padding = np.array(meta["padding"] * 2, np.float32)
+            sc = np.array(meta["scale"] * 2, np.float32)
+            det[:, :4] = det[:, :4] * self.down_ratio
+            det[:, :4] -= padding
+            det[:, :4] /= sc
+            by_class = {}
+            classes = det[:, -1]
+            for j in range(self.num_classes):
+                by_class[j + 1] = det[classes == j, :5].reshape(-1, 5)
+            results.append(by_class)
+        return results
+
     # -- COCO conversion -----------------------------------------------------------
 
     def to_coco_format(self, image_id, results: Dict[int, np.ndarray]) -> List[dict]:
