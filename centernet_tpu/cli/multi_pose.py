@@ -134,8 +134,14 @@ def cli_main(argv=None):
         (coco_val._load_image(i)[..., ::-1].astype(np.float32) / 255.0, i)
         for i in coco_val.ids
     )
+    # Reference evaluates keypoints AND bbox from the same detections
+    # (centernet_multi_pose.py:300-321) -> test/kp_* and test/bbox_*.
     stats = trainer.test(
-        test_ds, CocoEvaluator(coco_val.coco, "keypoints"), prefix="kp_"
+        test_ds,
+        [
+            ("kp_", CocoEvaluator(coco_val.coco, "keypoints")),
+            ("bbox_", CocoEvaluator(coco_val.coco, "bbox")),
+        ],
     )
     print(stats)
     return trainer

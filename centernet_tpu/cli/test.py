@@ -88,10 +88,16 @@ def cli_test(argv=None):
         (coco_val._load_image(i)[..., ::-1].astype(np.float32) / 255.0, i)
         for i in coco_val.ids
     )
-    iou_type = "bbox" if args.task == "detection" else "keypoints"
-    stats = trainer.test(
-        test_ds, CocoEvaluator(coco_val.coco, iou_type), prefix=prefix
-    )
+    if args.task == "detection":
+        evals = [(prefix, CocoEvaluator(coco_val.coco, "bbox"))]
+    else:
+        # pose logs both keypoint and bbox AP from the same detections
+        # (reference centernet_multi_pose.py:300-321)
+        evals = [
+            (prefix + "kp_", CocoEvaluator(coco_val.coco, "keypoints")),
+            (prefix + "bbox_", CocoEvaluator(coco_val.coco, "bbox")),
+        ]
+    stats = trainer.test(test_ds, evals)
     print(stats)
     return stats
 

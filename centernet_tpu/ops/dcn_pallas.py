@@ -1,30 +1,45 @@
-"""Pallas TPU kernel: dense-stencil modulated deformable convolution.
+"""Pallas TPU kernels: modulated deformable convolution (DCNv2 semantics,
+offsets clamped to +-radius — the ``stencil_deform_conv`` contract).
 
-The XLA dense-stencil path (``ops.dcn.stencil_deform_conv``) re-reads the
-input feature map from HBM once per integer shift (~(2r+2)^2 * 9 passes).
-This kernel performs the same computation with the input tile + halo staged
-in VMEM ONCE per row-tile:
+Replaces the reference's external CUDA DCNv2 op (reference:
+requirements.txt:1, used at pose_dla_dcn.py:441-449, resnet_dcn.py:202-210).
 
-  grid (B, H/TH):
-    DMA x[b, tile rows +- halo] HBM -> VMEM            (once)
-    for tap k in 0..8 (static):
-      ty/tx = tap base + clamped offsets               (VPU)
-      col   = sum over (2r+2)^2 static shifted slices
-              of the VMEM tile, weighted by
-              relu(1-|ty-sy|)*relu(1-|tx-sx|)          (VPU, in-registers)
-      out  += (col * mask_k) @ W_k                     (MXU, f32 accum)
+Design (measured on v5e, see BENCHMARKS.md "DCN implementation study"):
 
-Semantics match ``stencil_deform_conv``: offsets clamped to [-radius,
-radius] (documented divergence from unbounded DCNv2), zero outside the
-image, modulation mask applied before the weight contraction.
+* XLA's TPU gather moves ~25-35 GB/s and its transpose is a scatter-add
+  another ~2 orders slower — any XLA gather formulation is dead on arrival.
+* A dense-stencil expansion ((2r+2)^2 shifted FMA passes) is VMEM-traffic
+  bound at ~(span^2 * 9) full-tile passes — measured ~6 ms/img/layer even
+  with ideal Mosaic codegen at the dominant DLA scale.
+* Mosaic DOES support an exact per-sublane-row *lane* gather
+  (``jnp.take_along_axis(arr2d, idx2d, axis=1)`` with f32/i32 operands,
+  single-vreg lane extent).  That collapses the x-axis bilinear selection
+  to TWO gathers per (tap, row-shift) instead of 13 masked FMA passes.
 
-Stride-1, same-size (the model zoo's only DCN config).
+Kernel layout: tiles are [rows(plane), C(sublane), W(lane)], so
+
+  - the y-axis selection is a *static* plane slice per integer row shift
+    (the 2r+2 dense loop — only the y axis pays the dense expansion),
+  - the x-axis bilinear selection is a per-lane gather with the tap's
+    column index, shared across channels (bf16 channel pairs are bitcast
+    to i32 so one gather moves two channels),
+  - the modulation mask and in-image validity are folded into the two
+    corner coefficients (zero outside the image, matching the reference
+    CUDA kernel),
+  - per tap the accumulated column block contracts with W_k on the MXU.
+
+The backward (custom VJP in ops.dcn) recomputes columns with the same
+gather structure; dx uses the transposed stencil as dense shifted FMA
+passes (a lane *scatter* does not exist on TPU).
+
+Constraints: stride 1, same-size output (the only config the model zoo
+uses), feature width <= 128 (single-vreg lane gather).  The ops.dcn.DCN
+module falls back to the XLA paths otherwise.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -32,196 +47,158 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(
-    x_hbm,  # [B, H + 2*lo?, ...] padded input, ANY/HBM
-    off_ref,  # [1, TH, W, 2*KK] VMEM
-    mask_ref,  # [1, TH, W, KK] VMEM
-    w_ref,  # [KK, C, CO] VMEM
-    bias_ref,  # [1, CO] VMEM
-    out_ref,  # [1, TH, W, CO] VMEM
-    x_tile,  # scratch VMEM [TH + 2*margin, W2, C2]
-    x_shift,  # scratch VMEM [NSHIFT, TH + 2*margin, W, C2] — aligned shifts
-    col_ref,  # scratch VMEM [TH, W, C2] — per-tap deformed columns
-    acc_ref,  # scratch VMEM [TH*W, CO] f32 — output accumulator
-    sem,  # DMA semaphore
-    *,
-    th: int,
-    width: int,
-    channels: int,
-    kernel_size: int,
-    padding: int,
-    dilation: int,
-    radius: int,
-    margin: int,
-):
-    b = pl.program_id(0)
-    t = pl.program_id(1)
+def _plan(h, w, ci, dtype):
+    """Tile/pad plan shared by forward and backward."""
+    th = 1
+    for cand in (16, 8, 4, 2, 1):
+        if h % cand == 0:
+            th = cand
+            break
+    w2 = 128  # lane width; callers guarantee w <= 128
+    pack = dtype == jnp.bfloat16 and ci % 2 == 0
+    return th, w2, pack
 
-    # Stage the haloed input rows for this tile. x_hbm is pre-padded by
-    # `margin` on every spatial side, so tile row 0 maps to padded row t*TH.
+
+def _gather_corners(x_tile, lo, sy, th, ci, pack, idx0, idx1):
+    """Gather the two x-corners for one integer row shift.
+
+    x_tile: [rows, ci, w2] ref; returns two [th, ci, w2] values in the tile
+    dtype.  With ``pack`` (bf16, even channels) the gather runs on i32
+    channel pairs (same column index for both), halving gather work.
+    """
+    slab = x_tile[lo + sy:lo + sy + th]  # [th, ci, w2]
+    w2 = slab.shape[-1]
+    if pack:
+        packed = pltpu.bitcast(slab, jnp.int32)  # [th, ci//2, w2]
+        flat = packed.reshape(th * (ci // 2), w2)
+        g0 = jnp.take_along_axis(flat, idx0, axis=1)
+        g1 = jnp.take_along_axis(flat, idx1, axis=1)
+        g0 = pltpu.bitcast(g0.reshape(th, ci // 2, w2), jnp.bfloat16)
+        g1 = pltpu.bitcast(g1.reshape(th, ci // 2, w2), jnp.bfloat16)
+        return g0, g1
+    flat = slab.reshape(th * ci, w2)
+    g0 = jnp.take_along_axis(flat, idx0, axis=1).reshape(th, ci, w2)
+    g1 = jnp.take_along_axis(flat, idx1, axis=1).reshape(th, ci, w2)
+    return g0, g1
+
+
+def _tap_geometry(om, k, kk, ksize, pad, dil, r, w, w2, th, ci, pack, lanes):
+    """Per-tap clamped offsets -> gather indices + corner coefficients.
+
+    Returns (idx0, idx1, base0, base1, oy) where base* already folds the
+    modulation mask and in-image column validity.
+    """
+    kx = (k % ksize) * dil - pad
+    oy = jnp.clip(om[:, 2 * k:2 * k + 1, :], -float(r), float(r))
+    ox = jnp.clip(om[:, 2 * k + 1:2 * k + 2, :], -float(r), float(r))
+    mk = om[:, 2 * kk + k:2 * kk + k + 1, :]
+    oxf = jnp.floor(ox)
+    fx = ox - oxf
+    x0 = lanes + (kx + 0) + oxf.astype(jnp.int32)  # [th,1,w2] image col
+    v0 = (x0 >= 0) & (x0 <= w - 1)
+    v1 = (x0 + 1 >= 0) & (x0 + 1 <= w - 1)
+    i0 = jnp.clip(x0, 0, w2 - 1)
+    i1 = jnp.clip(x0 + 1, 0, w2 - 1)
+    base0 = jnp.where(v0, 1.0 - fx, 0.0) * mk
+    base1 = jnp.where(v1, fx, 0.0) * mk
+    rows = ci // 2 if pack else ci
+    idx0 = jnp.broadcast_to(i0, (th, rows, w2)).reshape(th * rows, w2)
+    idx1 = jnp.broadcast_to(i1, (th, rows, w2)).reshape(th * rows, w2)
+    return idx0, idx1, base0, base1, oy
+
+
+def _fwd_kernel(x_hbm, om_ref, w_ref, b_ref, out_ref,
+                x_tile, col_ref, acc_ref, sem, *,
+                th, w, w2, ci, co, ksize, pad, dil, r, lo, hi, pack):
+    bi = pl.program_id(0)
+    t = pl.program_id(1)
+    rows = th + lo + hi
     copy = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(t * th, th + 2 * margin)],
-        x_tile,
-        sem,
-    )
+        x_hbm.at[bi, pl.ds(t * th, rows)], x_tile, sem)
     copy.start()
 
-    kk = kernel_size * kernel_size
-    r = radius
+    kk = ksize * ksize
     span = 2 * r + 2
-
-    off = off_ref[0]  # [TH, W, 2KK] f32
-    mask = mask_ref[0]  # [TH, W, KK]
+    dt = x_tile.dtype
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (th, 1, w2), 2)
+    om = om_ref[0]  # [th, 3kk, w2] f32
 
     copy.wait()
 
-    # Pre-shift the tile into lane/sublane-ALIGNED copies, one per distinct
-    # absolute column shift — this pays the unaligned-slice relayout once
-    # per shift instead of once per (tap, dy, dx) term.
-    n_shift = 2 * r + 2 + kernel_size - 1  # distinct absolute sx values
-    sx0 = -padding - r  # smallest absolute column shift
-    for s in range(n_shift):
-        x_shift[s] = x_tile[:, margin + sx0 + s : margin + sx0 + s + width, :]
-
     acc_ref[...] = jnp.zeros_like(acc_ref)
     for k in range(kk):
-        ky = (k // kernel_size) * dilation - padding
-        kx = (k % kernel_size) * dilation - padding
-        off_y = jax.lax.slice_in_dim(off, 2 * k, 2 * k + 1, axis=2)[:, :, 0]
-        off_x = jax.lax.slice_in_dim(off, 2 * k + 1, 2 * k + 2, axis=2)[:, :, 0]
-        ty = ky + jnp.clip(off_y, -r, r)  # [TH, W]
-        tx = kx + jnp.clip(off_x, -r, r)
-
+        ky = (k // ksize) * dil - pad
+        idx0, idx1, base0, base1, oy = _tap_geometry(
+            om, k, kk, ksize, pad, dil, r, w, w2, th, ci, pack, lanes)
         col_ref[...] = jnp.zeros_like(col_ref)
-
-        # fori over row shifts keeps register live ranges to one shift row.
-        def row_shift(dy, _):
+        for dy in range(span):
             sy = ky - r + dy
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(ty - sy.astype(jnp.float32)))
-            contrib = jnp.zeros((th, width, channels), x_tile.dtype)
-            for dx in range(span):
-                sx = kx - r + dx
-                wx = jnp.maximum(0.0, 1.0 - jnp.abs(tx - float(sx)))
-                wgt = (wy * wx).astype(x_tile.dtype)
-                patch = x_shift[sx - sx0, pl.ds(margin + sy, th), :, :]
-                contrib = contrib + wgt[:, :, None] * patch
-            col_ref[...] += contrib
-            return 0
-
-        jax.lax.fori_loop(0, span, row_shift, 0)
-
-        m_k = jax.lax.slice_in_dim(mask, k, k + 1, axis=2)
-        col = col_ref[...] * m_k.astype(col_ref.dtype)
-        acc_ref[...] += jnp.dot(
-            col.reshape(th * width, channels),
-            w_ref[k],
-            preferred_element_type=jnp.float32,
-        )
-
-    out = acc_ref[...] + bias_ref[0].astype(jnp.float32)
-    out_ref[0] = out.reshape(th, width, out_ref.shape[-1])
+            g0, g1 = _gather_corners(
+                x_tile, lo, sy, th, ci, pack, idx0, idx1)
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(oy - float(dy - r)))
+            a0 = (wy * base0).astype(dt)
+            a1 = (wy * base1).astype(dt)
+            col_ref[...] += a0 * g0 + a1 * g1
+        acc_ref[...] += jax.lax.dot_general(
+            col_ref[...].astype(dt), w_ref[k],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [th, w2, co]
+    out_ref[0] = acc_ref[...] + b_ref[0].astype(jnp.float32)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("kernel_size", "stride", "padding", "dilation", "radius"),
 )
-def pallas_stencil_deform_conv(
-    x: jax.Array,  # [B, H, W, Ci]
-    offsets: jax.Array,  # [B, H, W, 2*KK] f32
-    mask: jax.Array,  # [B, H, W, KK] f32
-    weight: jax.Array,  # [KK*Ci, Co]
-    bias: jax.Array,  # [Co]
-    kernel_size: int = 3,
-    stride: int = 1,
-    padding: int = 1,
-    dilation: int = 1,
-    radius: int = 3,
-) -> jax.Array:
-    """Pallas dense-stencil DCN. Returns [B, H, W, Co] float32."""
+def pallas_deform_conv_fwd(x, offsets, mask, weight, bias, kernel_size=3,
+                           stride=1, padding=1, dilation=1, radius=4):
+    """Gather-based Pallas DCN forward.  [B,H,W,Ci] -> [B,H,W,Co] f32.
+
+    Same numerics contract as ``ops.dcn.stencil_deform_conv`` (offsets
+    clamped to +-radius, zero outside the image).
+    """
     b, h, w, ci = x.shape
     kk = kernel_size * kernel_size
     co = weight.shape[-1]
-    assert stride == 1, "stencil kernel supports stride-1 DCN"
+    assert stride == 1, "pallas DCN supports stride-1 same-size"
+    assert w <= 128, "pallas DCN requires feature width <= 128"
+    lo = padding + radius
+    hi = (kernel_size - 1) * dilation - padding + radius + 1
+    th, w2, pack = _plan(h, w, ci, x.dtype)
 
-    # halo: worst displacement = padding + radius (+1 for the high corner)
-    margin = padding + radius + 1
-    # Mosaic DMA slices need tiling-aligned trailing dims: pad columns to a
-    # multiple of 16 (sublane) and channels to a multiple of 128 (lane).
-    w2 = ((w + 2 * margin + 15) // 16) * 16
-    extra = w2 - (w + 2 * margin)
-    c2 = ((ci + 127) // 128) * 128
-    xpad = jnp.pad(
-        x,
-        (
-            (0, 0),
-            (margin, margin),
-            (margin, margin + extra),
-            (0, c2 - ci),
-        ),
-    )
-
-    # row tile: largest power-of-two divisor of h capped at 8 (VMEM budget)
-    th = 1
-    for cand in (8, 4, 2, 1):
-        if h % cand == 0:
-            th = cand
-            break
-    n_tiles = h // th
-
-    # Zero-pad weight rows to the padded channel count (zero channels in the
-    # tile then contribute nothing).
-    w_taps = weight.reshape(kk, ci, co)
-    w_taps = jnp.pad(w_taps, ((0, 0), (0, c2 - ci), (0, 0)))
-    bias2 = bias.reshape(1, co).astype(jnp.float32)
-    off_f = offsets.astype(jnp.float32)
-    mask_f = mask.astype(jnp.float32)
+    xt = jnp.transpose(x, (0, 1, 3, 2))  # [B, H, C, W]
+    xt = jnp.pad(xt, ((0, 0), (lo, hi), (0, 0), (0, w2 - w)))
+    om = jnp.concatenate(
+        [offsets.astype(jnp.float32), mask.astype(jnp.float32)], axis=-1)
+    omt = jnp.pad(jnp.transpose(om, (0, 1, 3, 2)),
+                  ((0, 0), (0, 0), (0, 0), (0, w2 - w)))
+    w_taps = weight.reshape(kk, ci, co).astype(x.dtype)
+    bias2 = jnp.broadcast_to(
+        bias.astype(jnp.float32).reshape(1, 1, co), (th, w2, co))
 
     kernel = functools.partial(
-        _kernel,
-        th=th,
-        width=w,
-        channels=c2,
-        kernel_size=kernel_size,
-        padding=padding,
-        dilation=dilation,
-        radius=radius,
-        margin=margin,
-    )
-
+        _fwd_kernel, th=th, w=w, w2=w2, ci=ci, co=co, ksize=kernel_size,
+        pad=padding, dil=dilation, r=radius, lo=lo, hi=hi, pack=pack)
     out = pl.pallas_call(
         kernel,
-        grid=(b, n_tiles),
+        grid=(b, h // th),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # xpad, manual DMA
-            pl.BlockSpec(
-                (1, th, w, 2 * kk), lambda bi, ti: (bi, ti, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, th, w, kk), lambda bi, ti: (bi, ti, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, th, 3 * kk, w2), lambda bi, ti: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, th, w, co), lambda bi, ti: (bi, ti, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, co), jnp.float32),
+        out_specs=pl.BlockSpec((1, th, w2, co), lambda bi, ti: (bi, ti, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w2, co), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * margin, w2, c2), x.dtype),
-            pltpu.VMEM(
-                (2 * radius + 2 + kernel_size - 1, th + 2 * margin, w, c2),
-                x.dtype,
-            ),
-            pltpu.VMEM((th, w, c2), x.dtype),
-            pltpu.VMEM((th * w, co), jnp.float32),
+            pltpu.VMEM((th + lo + hi, ci, w2), x.dtype),
+            pltpu.VMEM((th, ci, w2), jnp.float32),
+            pltpu.VMEM((th, w2, co), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-    )(xpad, off_f, mask_f, w_taps.astype(x.dtype), bias2)
-    return out
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(xt, omt, w_taps, bias2)
+    return out[:, :, :w, :]

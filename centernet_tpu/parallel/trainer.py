@@ -207,12 +207,29 @@ class Trainer:
         img, target = batch
         return put(img), jax.tree_util.tree_map(put, target)
 
-    def fit(self, train_loader: Iterable, val_loader: Optional[Iterable] = None):
+    def fit(
+        self,
+        train_loader: Iterable,
+        val_loader: Optional[Iterable] = None,
+        resume_from: Optional[str] = None,
+    ):
+        """Run the training loop.  ``resume_from`` restores a checkpoint saved
+        by this trainer — step counter, optimizer state, and epoch position
+        all continue (Lightning ``ckpt_path`` resume semantics)."""
         if self.state is None:
             self.init_state()
+        start_epoch = 0
+        if resume_from is not None:
+            from ..utils.checkpoint import restore_checkpoint
+
+            state, meta = restore_checkpoint(
+                resume_from, self.state, with_meta=True
+            )
+            self.state = jax.device_put(state, replicated_sharding(self.mesh))
+            start_epoch = int(meta.get("epoch", -1)) + 1
         self._compile_steps()
 
-        for epoch in range(self.max_epochs):
+        for epoch in range(start_epoch, self.max_epochs):
             t0 = time.time()
             n_images = 0
             for i, batch in enumerate(train_loader):
@@ -267,21 +284,16 @@ class Trainer:
                 self.checkpoint.on_epoch_end(
                     epoch,
                     metrics,
-                    lambda path: save_checkpoint(path, self.state),
+                    lambda path: save_checkpoint(
+                        path, self.state, meta={"epoch": epoch}
+                    ),
                 )
         return self.state
 
     def _current_lr(self) -> float:
+        """Read the LR from the task's actual optax schedule (no drift)."""
         try:
-            lr = self.task.learning_rate
-            count = int(self.state.step)
-            if self.task.learning_rate_milestones:
-                # mirror the optax piecewise schedule
-                spe = self.steps_per_epoch
-                for m in self.task.learning_rate_milestones:
-                    if count >= int(m) * spe:
-                        lr *= 0.1
-            return float(lr)
+            return float(self.task.lr_schedule(int(self.state.step)))
         except Exception:
             return float("nan")
 
@@ -325,15 +337,7 @@ class Trainer:
                 flush()
         flush()
 
-        if coco_eval is None:
-            return {}
-        coco_results = []
-        for image_id, det in results:
-            coco_results.extend(self.task.to_coco_format(image_id, det))
-        stats = coco_eval(coco_results)
-        out = {f"test/{prefix}{k}": float(v) for k, v in stats.items()}
-        self.logger.log_epoch(-1, out)
-        return out
+        return self._evaluate_results(results, coco_eval, prefix)
 
     def test(self, dataset, coco_eval=None, prefix: str = "") -> Dict[str, float]:
         """Run TTA prediction over a dataset of (img_hwc, image_id) and, when
@@ -343,12 +347,29 @@ class Trainer:
         for img, image_id in dataset:
             det = self.task.predict(self.state.variables(), img)
             results.append((image_id, det))
+        return self._evaluate_results(results, coco_eval, prefix)
+
+    def _evaluate_results(self, results, coco_eval, prefix) -> Dict[str, float]:
+        """Score accumulated (image_id, detections) against COCO ground truth.
+
+        ``coco_eval`` is either a single evaluator (scored under ``prefix``)
+        or a list of ``(prefix, evaluator)`` pairs so one prediction pass can
+        feed several COCOeval runs — the reference pose task evaluates BOTH
+        "keypoints" and "bbox" from the same detections
+        (centernet_multi_pose.py:300-321)."""
         if coco_eval is None:
             return {}
+        evals = (
+            list(coco_eval)
+            if isinstance(coco_eval, (list, tuple))
+            else [(prefix, coco_eval)]
+        )
         coco_results = []
         for image_id, det in results:
             coco_results.extend(self.task.to_coco_format(image_id, det))
-        stats = coco_eval(coco_results)
-        out = {f"test/{prefix}{k}": float(v) for k, v in stats.items()}
+        out: Dict[str, float] = {}
+        for pfx, ev in evals:
+            stats = ev(coco_results)
+            out.update({f"test/{pfx}{k}": float(v) for k, v in stats.items()})
         self.logger.log_epoch(-1, out)
         return out

@@ -126,5 +126,8 @@ class CenterNet:
                 self.learning_rate, boundaries
             )
         else:
-            schedule = self.learning_rate
+            schedule = optax.constant_schedule(self.learning_rate)
+        # exposed so the trainer's LR monitor reads the ACTUAL schedule
+        # instead of re-deriving it (single source of truth)
+        self.lr_schedule = schedule
         return optax.adam(schedule)

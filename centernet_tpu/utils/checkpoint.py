@@ -23,21 +23,32 @@ except ImportError:  # pragma: no cover
     ocp = None
 
 
-def save_checkpoint(path: str, state) -> None:
-    """Save a TrainState pytree with orbax."""
+def save_checkpoint(path: str, state, meta: Optional[Dict[str, Any]] = None) -> None:
+    """Save a TrainState pytree with orbax.
+
+    ``meta`` (e.g. ``{"epoch": 3}``) is written as a JSON sidecar next to the
+    orbax directory so ``Trainer.fit(resume_from=...)`` can continue the epoch
+    loop — the Lightning-resume equivalent (reference: ``Trainer(resume_from
+    _checkpoint=...)`` semantics via ckpt_path, centernet_test.py:72-74).
+    """
     if ocp is None:
         raise RuntimeError("orbax-checkpoint is unavailable")
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
+    if meta is not None:
+        import json
+
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
 
 
-def restore_checkpoint(path: str, target):
+def restore_checkpoint(path: str, target, with_meta: bool = False):
     """Restore a TrainState pytree saved by ``save_checkpoint``.
 
     ``target`` provides the tree structure/shapes (an abstract or concrete
-    TrainState).
+    TrainState).  With ``with_meta=True`` returns ``(state, meta_dict)``.
     """
     if ocp is None:
         raise RuntimeError("orbax-checkpoint is unavailable")
@@ -49,7 +60,16 @@ def restore_checkpoint(path: str, target):
         else x,
         target,
     )
-    return ckptr.restore(path, abstract)
+    state = ckptr.restore(path, abstract)
+    if not with_meta:
+        return state
+    meta: Dict[str, Any] = {}
+    if os.path.exists(path + ".meta.json"):
+        import json
+
+        with open(path + ".meta.json") as f:
+            meta = json.load(f)
+    return state, meta
 
 
 # ---------------------------------------------------------------------------
