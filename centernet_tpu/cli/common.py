@@ -36,7 +36,24 @@ def add_data_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("annotation_root")
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--num_workers", type=int, default=8)
-    parser.add_argument("--pretrained_weights_path", default=None)
+    parser.add_argument(
+        "--pretrained_weights_path",
+        default=None,
+        help="legacy full-CenterNet torch checkpoint to import",
+    )
+    parser.add_argument(
+        "--backbone_weights",
+        default=None,
+        help="local ImageNet classifier state_dict (torchvision resnet / "
+        "dl.yf.io dla34 naming) for fresh-training backbone init — the "
+        "file-based equivalent of the reference's pretrained download",
+    )
+    parser.add_argument(
+        "--resume_from",
+        default=None,
+        help="orbax checkpoint dir saved by this trainer; resumes epoch/"
+        "step/optimizer (Lightning ckpt_path resume)",
+    )
     parser.add_argument(
         "--input_size", type=int, default=512,
         help="square training resolution (reference trains at 512)",

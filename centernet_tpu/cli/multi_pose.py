@@ -120,15 +120,26 @@ def cli_main(argv=None):
         trainer.state = trainer.state.replace(
             params=variables["params"], batch_stats=variables["batch_stats"]
         )
+    elif args.backbone_weights:
+        from ..utils.torch_import import load_imagenet_backbone
+
+        variables = load_imagenet_backbone(
+            args.backbone_weights, task, trainer.state.variables()
+        )
+        trainer.state = trainer.state.replace(
+            params=variables["params"], batch_stats=variables["batch_stats"]
+        )
 
     if not args.test_only:
         if args.profile:
             from ..utils.profiling import trace
 
             with trace(os.path.join(args.default_root_dir, "profile")):
-                trainer.fit(train_loader, val_loader)
+                trainer.fit(
+                    train_loader, val_loader, resume_from=args.resume_from
+                )
         else:
-            trainer.fit(train_loader, val_loader)
+            trainer.fit(train_loader, val_loader, resume_from=args.resume_from)
 
     test_ds = (
         (coco_val._load_image(i)[..., ::-1].astype(np.float32) / 255.0, i)

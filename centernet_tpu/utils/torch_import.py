@@ -210,16 +210,33 @@ def _map_dla_tree(w: _Writer, sd, t: str, f: Tuple[str, ...], levels: int):
         w.bn(sd, f"{t}.project.1", f + ("project_bn",))
 
 
-def _map_dla(w: _Writer, sd, levels=(1, 1, 1, 2, 2, 1)):
+def _map_dla_base(w: _Writer, sd, tprefix: str = "base.",
+                  levels=(1, 1, 1, 2, 2, 1)):
+    """DLA trunk params.  ``tprefix`` is "base." inside full CenterNet
+    checkpoints and "" for standalone dl.yf.io ImageNet classifiers (the
+    reference loads those base-relative, pose_dla_dcn.py:380-397)."""
     b = ("backbone", "base")
-    w.conv(sd, "base.base_layer.0", b + ("base_layer", "Conv_0"))
-    w.bn(sd, "base.base_layer.1", b + ("base_layer", "BatchNorm_0"))
+    w.conv(sd, f"{tprefix}base_layer.0", b + ("base_layer", "Conv_0"))
+    w.bn(sd, f"{tprefix}base_layer.1", b + ("base_layer", "BatchNorm_0"))
     for lvl in (0, 1):
         for i in range(levels[lvl]):
-            w.conv(sd, f"base.level{lvl}.{2 * i}", b + (f"level{lvl}_{i}", "Conv_0"))
-            w.bn(sd, f"base.level{lvl}.{2 * i + 1}", b + (f"level{lvl}_{i}", "BatchNorm_0"))
+            w.conv(
+                sd,
+                f"{tprefix}level{lvl}.{2 * i}",
+                b + (f"level{lvl}_{i}", "Conv_0"),
+            )
+            w.bn(
+                sd,
+                f"{tprefix}level{lvl}.{2 * i + 1}",
+                b + (f"level{lvl}_{i}", "BatchNorm_0"),
+            )
     for lvl in (2, 3, 4, 5):
-        _map_dla_tree(w, sd, f"base.level{lvl}", b + (f"level{lvl}",), levels[lvl])
+        _map_dla_tree(w, sd, f"{tprefix}level{lvl}", b + (f"level{lvl}",),
+                      levels[lvl])
+
+
+def _map_dla(w: _Writer, sd, levels=(1, 1, 1, 2, 2, 1)):
+    _map_dla_base(w, sd, "base.", levels)
 
     def map_ida(tprefix: str, fprefix: Tuple[str, ...], n: int):
         for i in range(1, n):
@@ -354,5 +371,68 @@ def load_legacy_centernet_weights(path: str, task, target_vars) -> Dict[str, Any
         print(
             f"[torch_import] {len(out['missing'])} expected torch keys "
             f"missing, e.g. {out['missing'][:5]}"
+        )
+    return {"params": out["params"], "batch_stats": out["batch_stats"]}
+
+
+# ---------------------------------------------------------------------------
+# ImageNet backbone initialization
+# ---------------------------------------------------------------------------
+
+
+def convert_imagenet_backbone(state_dict: Mapping[str, np.ndarray], task,
+                              target_vars: Mapping) -> Dict[str, Any]:
+    """Convert an ImageNet *classifier* state_dict (backbone only) into
+    {params, batch_stats} overlaying ``target_vars``.
+
+    Accepted namings:
+    * res/resdcn: torchvision ``resnet{18,34,50,101,152}`` state_dicts
+      (``conv1/bn1/layerX.Y...``; the ``fc`` head is ignored) — the
+      reference auto-downloads exactly these (msra_resnet.py:239-246);
+    * dla_34: the dl.yf.io ``dla34`` classifier state_dict, base-relative
+      keys (``base_layer/level0..level5``; ``fc`` ignored) — reference
+      pose_dla_dcn.py:380-397.
+
+    Everything NOT covered by the file (deconv/DCN up-path, heads) keeps its
+    fresh initialization, matching the reference's from-ImageNet training
+    setup.  Returns a "missing" list that is empty for well-formed inputs.
+    """
+    arch = task.arch
+    family = arch.split("_")[0]
+    w = _Writer(target_vars)
+    from ..models.resnet import RESNET_SPEC
+
+    if family in ("res", "resdcn"):
+        block, layers = RESNET_SPEC[int(arch.split("_")[1])]
+        _map_resnet_stages(
+            w, state_dict, ("backbone", "resnet"), block.__name__ == "Bottleneck",
+            layers,
+        )
+    elif family == "dla":
+        _map_dla_base(w, state_dict, tprefix="")
+    else:
+        raise NotImplementedError(
+            f"no ImageNet weights exist for family {family!r} "
+            "(the reference ships none for hourglass either)"
+        )
+
+    params = _merge(_to_plain(target_vars["params"]), w.params)
+    batch_stats = _merge(_to_plain(target_vars["batch_stats"]), w.batch_stats)
+    return {"params": params, "batch_stats": batch_stats, "missing": w.missing}
+
+
+def load_imagenet_backbone(path: str, task, target_vars) -> Dict[str, Any]:
+    """Initialize a fresh model's backbone from a local ImageNet state_dict
+    file (torchvision resnet / dl.yf.io dla34 naming).  The TPU-native
+    equivalent of the reference's ``pretrained=True`` download-and-load
+    (msra_resnet.py:239-246, pose_dla_dcn.py:380-397) — network access is
+    replaced by a local file path (``--backbone_weights``)."""
+    sd = load_torch_state_dict(path)
+    out = convert_imagenet_backbone(sd, task, target_vars)
+    if out["missing"]:
+        raise ValueError(
+            f"ImageNet import left {len(out['missing'])} backbone keys "
+            f"unmatched, e.g. {out['missing'][:5]} — wrong file for "
+            f"arch {task.arch!r}?"
         )
     return {"params": out["params"], "batch_stats": out["batch_stats"]}
