@@ -131,6 +131,16 @@ class CocoEvaluator:
     def __call__(self, results: Sequence[Mapping]) -> Dict[str, float]:
         return self.evaluate(results)
 
+    def _det_area(self, det: Mapping) -> float:
+        """Detection area per cocoeval loadRes: bbox w*h for bbox results,
+        keypoint-extent box area for keypoint results."""
+        if self.iou_type == "keypoints":
+            kp = np.asarray(det["keypoints"], np.float64)
+            x, y = kp[0::3], kp[1::3]
+            return float((x.max() - x.min()) * (y.max() - y.min()))
+        b = det["bbox"]
+        return float(b[2] * b[3])
+
     def evaluate(self, results: Sequence[Mapping]) -> Dict[str, float]:
         img_ids = sorted(self.gt.imgs.keys())
         dets_by_img_cat = defaultdict(list)
@@ -218,10 +228,10 @@ class CocoEvaluator:
                             best = min(thr, 1 - 1e-10)
                             best_j = -1
                             for j in g_order:
-                                if g_taken[j] and not (
-                                    self.iou_type == "bbox"
-                                    and gts[j].get("iscrowd", 0)
-                                ):
+                                # a taken gt can only be re-matched if crowd
+                                # (cocoeval: "if gtm[gind]>0 and not
+                                # iscrowd[gind]: continue" — both iou types)
+                                if g_taken[j] and not gts[j].get("iscrowd", 0):
                                     continue
                                 # stop at ignored gts if we already matched
                                 if (
@@ -235,9 +245,11 @@ class CocoEvaluator:
                                 best = ious[di, j]
                                 best_j = j
                             if best_j == -1:
-                                # unmatched: det ignored if its area out of range
-                                db_ = dets[di]["bbox"]
-                                darea = db_[2] * db_[3]
+                                # unmatched: det ignored if its area is out of
+                                # range.  cocoeval's loadRes defines det area
+                                # as bbox w*h for bbox results but the
+                                # KEYPOINT-EXTENT box area for kp results.
+                                darea = self._det_area(dets[di])
                                 d_ignored[ti, di] = (
                                     darea < amin or darea > amax
                                 )
