@@ -82,12 +82,19 @@ def _gather_corners(x_tile, lo, sy, th, ci, pack, idx0, idx1):
     return g0, g1
 
 
-def _tap_geometry(om, k, kk, ksize, pad, dil, r, w, w2, th, ci, pack, lanes):
-    """Per-tap clamped offsets -> gather indices + corner coefficients.
+def _tap_geometry(om, k, kk, ksize, pad, dil, r, w, w2, th, ci, pack,
+                  lanes, dys, dt):
+    """Per-tap clamped offsets -> gather indices + per-row-shift corner
+    coefficients.
 
-    Returns (idx0, idx1, base0, base1, oy) where base* already folds the
-    modulation mask and in-image column validity.
+    Returns (idx0, idx1, a0_all, a1_all) where a*_all is [th, span, w2] —
+    the full (dy, position) coefficient plane with modulation mask,
+    in-image column validity, and the y-bilinear weight folded in.  Wide
+    (span-sublane) tensors: per-dy [th, 1, w2] slices of these are cheap,
+    whereas computing 5+ separate [th, 1, w2] ops per (tap, dy) lowers to
+    pathological 1-sublane vector code (measured ~10x slower).
     """
+    span = 2 * r + 2
     kx = (k % ksize) * dil - pad
     oy = jnp.clip(om[:, 2 * k:2 * k + 1, :], -float(r), float(r))
     ox = jnp.clip(om[:, 2 * k + 1:2 * k + 2, :], -float(r), float(r))
@@ -101,13 +108,18 @@ def _tap_geometry(om, k, kk, ksize, pad, dil, r, w, w2, th, ci, pack, lanes):
     i1 = jnp.clip(x0 + 1, 0, w2 - 1)
     base0 = jnp.where(v0, 1.0 - fx, 0.0) * mk
     base1 = jnp.where(v1, fx, 0.0) * mk
+    # wy over all span row-shifts at once (dys: [1, span, w2] input holding
+    # dy - r per sublane; Mosaic cannot materialize sublane-iota constants)
+    wy_all = jnp.maximum(0.0, 1.0 - jnp.abs(oy - dys))  # [th, span, w2]
+    a0_all = (wy_all * base0).astype(dt)
+    a1_all = (wy_all * base1).astype(dt)
     rows = ci // 2 if pack else ci
     idx0 = jnp.broadcast_to(i0, (th, rows, w2)).reshape(th * rows, w2)
     idx1 = jnp.broadcast_to(i1, (th, rows, w2)).reshape(th * rows, w2)
-    return idx0, idx1, base0, base1, oy
+    return idx0, idx1, a0_all, a1_all
 
 
-def _fwd_kernel(x_hbm, om_ref, w_ref, b_ref, out_ref,
+def _fwd_kernel(x_hbm, om_ref, w_ref, b_ref, dys_ref, out_ref,
                 x_tile, col_ref, acc_ref, sem, *,
                 th, w, w2, ci, co, ksize, pad, dil, r, lo, hi, pack):
     bi = pl.program_id(0)
@@ -122,23 +134,27 @@ def _fwd_kernel(x_hbm, om_ref, w_ref, b_ref, out_ref,
     dt = x_tile.dtype
     lanes = jax.lax.broadcasted_iota(jnp.int32, (th, 1, w2), 2)
     om = om_ref[0]  # [th, 3kk, w2] f32
+    dys = dys_ref[...][None]  # [1, span, w2]
 
     copy.wait()
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
     for k in range(kk):
         ky = (k // ksize) * dil - pad
-        idx0, idx1, base0, base1, oy = _tap_geometry(
-            om, k, kk, ksize, pad, dil, r, w, w2, th, ci, pack, lanes)
-        col_ref[...] = jnp.zeros_like(col_ref)
+        idx0, idx1, a0_all, a1_all = _tap_geometry(
+            om, k, kk, ksize, pad, dil, r, w, w2, th, ci, pack, lanes, dys,
+            dt)
         for dy in range(span):
             sy = ky - r + dy
             g0, g1 = _gather_corners(
                 x_tile, lo, sy, th, ci, pack, idx0, idx1)
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(oy - float(dy - r)))
-            a0 = (wy * base0).astype(dt)
-            a1 = (wy * base1).astype(dt)
-            col_ref[...] += a0 * g0 + a1 * g1
+            a0 = a0_all[:, dy:dy + 1, :]
+            a1 = a1_all[:, dy:dy + 1, :]
+            term = a0 * g0 + a1 * g1
+            if dy == 0:
+                col_ref[...] = term.astype(jnp.float32)
+            else:
+                col_ref[...] += term
         acc_ref[...] += jax.lax.dot_general(
             col_ref[...].astype(dt), w_ref[k],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -175,6 +191,11 @@ def pallas_deform_conv_fwd(x, offsets, mask, weight, bias, kernel_size=3,
     w_taps = weight.reshape(kk, ci, co).astype(x.dtype)
     bias2 = jnp.broadcast_to(
         bias.astype(jnp.float32).reshape(1, 1, co), (th, w2, co))
+    span = 2 * radius + 2
+    dys = jnp.broadcast_to(
+        (jnp.arange(span, dtype=jnp.float32) - float(radius))[:, None],
+        (span, w2),
+    )
 
     kernel = functools.partial(
         _fwd_kernel, th=th, w=w, w2=w2, ci=ci, co=co, ksize=kernel_size,
@@ -186,6 +207,7 @@ def pallas_deform_conv_fwd(x, offsets, mask, weight, bias, kernel_size=3,
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((1, th, 3 * kk, w2), lambda bi, ti: (bi, ti, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -200,5 +222,5 @@ def pallas_deform_conv_fwd(x, offsets, mask, weight, bias, kernel_size=3,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(xt, omt, w_taps, bias2)
+    )(xt, omt, w_taps, bias2, dys)
     return out[:, :, :w, :]

@@ -260,24 +260,100 @@ def _map_dla(w: _Writer, sd, levels=(1, 1, 1, 2, 2, 1)):
     map_ida("ida_up", ("backbone", "ida_up"), 3)
 
 
+def _map_hg_conv(w: _Writer, sd, t: str, f: Tuple[str, ...]):
+    """Original `convolution` module (conv+bn+relu, large_hourglass.py:11)."""
+    w.conv(sd, f"{t}.conv", f + ("Conv_0",))
+    w.bn(sd, f"{t}.bn", f + ("BatchNorm_0",))
+
+
+def _map_hg_residual(w: _Writer, sd, t: str, f: Tuple[str, ...], skip: bool):
+    """Original `residual` (conv1/bn1/conv2/bn2[/skip], large_hourglass.py:51).
+
+    ``skip`` is static (stride 2 or channel change) so the mapping is total
+    — no dependence on which keys happen to exist in the file."""
+    w.conv(sd, f"{t}.conv1", f + ("Conv_0",))
+    w.bn(sd, f"{t}.bn1", f + ("BatchNorm_0",))
+    w.conv(sd, f"{t}.conv2", f + ("Conv_1",))
+    w.bn(sd, f"{t}.bn2", f + ("BatchNorm_1",))
+    if skip:
+        w.conv(sd, f"{t}.skip.0", f + ("Conv_2",))
+        w.bn(sd, f"{t}.skip.1", f + ("BatchNorm_2",))
+
+
+def _map_hg_module(w: _Writer, sd, t: str, f: Tuple[str, ...], n: int,
+                   dims, modules):
+    """Recursive kp_module (large_hourglass.py:144-207) -> flax HgModule."""
+    curr_mod, next_mod = modules[0], modules[1]
+    curr_dim, next_dim = dims[0], dims[1]
+    for i in range(curr_mod):
+        _map_hg_residual(w, sd, f"{t}.up1.{i}", f + (f"up1_{i}",), skip=False)
+        _map_hg_residual(
+            w, sd, f"{t}.low1.{i}", f + (f"low1_{i}",), skip=(i == 0)
+        )
+    if n > 1:
+        _map_hg_module(w, sd, f"{t}.low2", f + ("low2",), n - 1, dims[1:],
+                       modules[1:])
+    else:
+        for i in range(next_mod):
+            _map_hg_residual(
+                w, sd, f"{t}.low2.{i}", f + (f"low2_{i}",), skip=False
+            )
+    for i in range(curr_mod - 1):
+        _map_hg_residual(w, sd, f"{t}.low3.{i}", f + (f"low3_{i}",),
+                         skip=False)
+    _map_hg_residual(
+        w, sd, f"{t}.low3.{curr_mod - 1}", f + (f"low3_{curr_mod - 1}",),
+        skip=(next_dim != curr_dim),
+    )
+
+
+def _map_hourglass(w: _Writer, sd, num_stacks: int = 2,
+                   dims=(256, 256, 384, 384, 384, 512),
+                   modules=(2, 2, 2, 2, 2, 4)):
+    """Original large-hourglass exkp naming -> flax HourglassNet
+    (reference remap site: centernet.py:46-61; structure
+    large_hourglass.py:210-339)."""
+    b = ("backbone",)
+    _map_hg_conv(w, sd, "pre.0", b + ("pre_conv",))
+    _map_hg_residual(w, sd, "pre.1", b + ("pre_res",), skip=True)
+    for s in range(num_stacks):
+        _map_hg_module(w, sd, f"kps.{s}", b + (f"kp_{s}",), 5, dims, modules)
+        _map_hg_conv(w, sd, f"cnvs.{s}", b + (f"cnv_{s}",))
+    for s in range(num_stacks - 1):
+        w.conv(sd, f"inters_.{s}.0", b + (f"inter__conv_{s}",))
+        w.bn(sd, f"inters_.{s}.1", b + (f"inter__bn_{s}",))
+        w.conv(sd, f"cnvs_.{s}.0", b + (f"cnv__conv_{s}",))
+        w.bn(sd, f"cnvs_.{s}.1", b + (f"cnv__bn_{s}",))
+        _map_hg_residual(w, sd, f"inters.{s}", b + (f"inters_{s}",),
+                         skip=False)
+
+
 def _map_heads(w: _Writer, sd_heads: Mapping[str, Mapping[str, np.ndarray]],
                num_stacks: int):
-    """Reference-remapped head dicts -> flax head_{s}/{name}/Conv_{0,1}.
+    """Head dicts (keyed by remapped head name) -> flax
+    head_{s}/{name}/Conv_{0,1} (reference remap, centernet.py:46-61).
 
-    ``sd_heads`` maps head name -> {"<stack>.fc.<idx>.weight": ...} keys in
-    the decoupled-head layout produced by centernet.py:46-61 — i.e. after the
-    reference's own remap, keys look like "0.heatmap.fc.0.weight". We accept
-    the rawer form {head: {"fc.0.weight": ...}} per stack below.
+    Accepted per-head key forms (everything the original CenterNet zoo and
+    the reference produce):
+    * "fc.0.weight" / "<stack>.fc.<idx>.weight" — decoupled-head layouts;
+    * "<seq>.weight"  — original resnet/dla Sequential(conv, relu, conv)
+      heads (seq 0 = 3x3, seq 2 = final 1x1), single stack;
+    * "<stack>.<seq>.conv.weight" / "<stack>.<seq>.weight" — original
+      hourglass per-stack ModuleList heads (seq 0 = `convolution` module
+      with inner ``conv``, seq 1 = final 1x1).
     """
     for name, sub in sd_heads.items():
         for k, v in sub.items():
             parts = k.split(".")
-            # forms: "fc.0.weight" (single stack) or "<stack>.fc.0.weight"
             if parts[0] == "fc":
-                stack, idx, leaf = 0, int(parts[1]), parts[2]
-            else:
-                stack, idx, leaf = int(parts[0]), int(parts[2]), parts[3]
-            conv_i = 0 if idx == 0 else 1
+                stack, seq, leaf = 0, int(parts[1]), parts[2]
+            elif len(parts) == 2:  # original resnet/dla "0.weight"
+                stack, seq, leaf = 0, int(parts[0]), parts[1]
+            elif parts[1] == "fc":
+                stack, seq, leaf = int(parts[0]), int(parts[2]), parts[3]
+            else:  # original hourglass "<stack>.<seq>[.conv].<leaf>"
+                stack, seq, leaf = int(parts[0]), int(parts[1]), parts[-1]
+            conv_i = 0 if seq == 0 else 1
             fpath = (f"head_{stack}", name, f"Conv_{conv_i}")
             if leaf == "weight":
                 _set(w.params, fpath + ("kernel",), conv_kernel(v))
@@ -344,10 +420,11 @@ def convert_state_dict(state_dict: Mapping[str, np.ndarray], task,
         _map_resdcn(w, backbone_sd, layers, block.__name__ == "Bottleneck")
     elif family == "dla":
         _map_dla(w, backbone_sd)
+    elif family == "hourglass":
+        _map_hourglass(w, backbone_sd, task.num_stacks)
     else:
         raise NotImplementedError(
-            f"legacy import for family {family!r} is not supported "
-            "(the reference ships no pretrained hourglass weights)"
+            f"legacy import for family {family!r} is not supported"
         )
     _map_heads(w, head_sd, task.num_stacks)
 

@@ -16,7 +16,8 @@ def _synthesize_and_convert(arch):
     from centernet_tpu.tasks.detection import CenterNetDetection
 
     task = CenterNetDetection(arch)
-    variables = task.init_variables(jax.random.PRNGKey(0), (64, 64))
+    hw = (128, 128) if arch == "hourglass" else (64, 64)
+    variables = task.init_variables(jax.random.PRNGKey(0), hw)
     params = ti._to_plain(variables["params"])
     stats = ti._to_plain(variables["batch_stats"])
 
@@ -43,6 +44,8 @@ def _synthesize_and_convert(arch):
     elif family == "resdcn":
         block, layers = RESNET_SPEC[int(arch.split("_")[1])]
         ti._map_resdcn(rec, {}, layers, block.__name__ == "Bottleneck")
+    elif family == "hourglass":
+        ti._map_hourglass(rec, {}, task.num_stacks)
     else:
         ti._map_dla(rec, {})
 
@@ -87,27 +90,35 @@ def _synthesize_and_convert(arch):
             )
             sd[f"{tkey}.conv_offset_mask.bias"] = np.zeros((c27,), np.float32)
 
-    # Heads in the reference-remapped layout (single stack -> "0." prefix
-    # handled by _map_heads's "fc."-form).
+    # Heads: reference-remapped layout for single-stack arches, the
+    # original hourglass per-stack ModuleList layout for hourglass.
+    sd_head_prefix = {
+        "heatmap": "hm", "width_height": "wh", "regression": "reg",
+    }
     for name, ch in task.heads.items():
         hc = task.head_conv
-        in_ch = task.model.heads and params["head_0"][name]["Conv_0"]["kernel"].shape[2]
-        sd_head_prefix = {
-            "heatmap": "hm", "width_height": "wh", "regression": "reg",
-        }[name]
-        sd[f"{sd_head_prefix}.fc.0.weight"] = np.zeros(
-            (hc, in_ch, 3, 3), np.float32
-        )
-        sd[f"{sd_head_prefix}.fc.0.bias"] = np.zeros((hc,), np.float32)
-        sd[f"{sd_head_prefix}.fc.2.weight"] = np.zeros((ch, hc, 1, 1), np.float32)
-        sd[f"{sd_head_prefix}.fc.2.bias"] = np.zeros((ch,), np.float32)
+        in_ch = params["head_0"][name]["Conv_0"]["kernel"].shape[2]
+        pre = sd_head_prefix[name]
+        if arch == "hourglass":
+            for st in range(task.num_stacks):
+                sd[f"{pre}.{st}.0.conv.weight"] = np.zeros(
+                    (hc, in_ch, 3, 3), np.float32)
+                sd[f"{pre}.{st}.0.conv.bias"] = np.zeros((hc,), np.float32)
+                sd[f"{pre}.{st}.1.weight"] = np.zeros(
+                    (ch, hc, 1, 1), np.float32)
+                sd[f"{pre}.{st}.1.bias"] = np.zeros((ch,), np.float32)
+        else:
+            sd[f"{pre}.fc.0.weight"] = np.zeros((hc, in_ch, 3, 3), np.float32)
+            sd[f"{pre}.fc.0.bias"] = np.zeros((hc,), np.float32)
+            sd[f"{pre}.fc.2.weight"] = np.zeros((ch, hc, 1, 1), np.float32)
+            sd[f"{pre}.fc.2.bias"] = np.zeros((ch,), np.float32)
 
     out = ti.convert_state_dict(sd, task, variables)
     assert not out["missing"], out["missing"][:8]
     return out
 
 
-@pytest.mark.parametrize("arch", ["res_18", "resdcn_18", "dla_34"])
+@pytest.mark.parametrize("arch", ["res_18", "resdcn_18", "dla_34", "hourglass"])
 def test_import_mapping_covers_and_targets_exist(arch):
     """Every torch key the mapping expects converts onto an existing flax
     parameter with a matching shape (strict merge), none are missing."""
