@@ -1,0 +1,88 @@
+"""Input-pipeline throughput benchmark (VERDICT round-1 item 5).
+
+Measures host samples/sec through the FULL detection train transform
+(affine-warp augmentation -> class mapping -> center-detection target
+encoding) at the training resolution, single-sample and through the
+threaded DataLoader, plus a per-stage breakdown.
+
+Run: python benchmarks/bench_input_pipeline.py [--size 512] [--n 200]
+Numbers land in BENCHMARKS.md; the train-step img/s they must cover come
+from the training benchmarks there.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--n", type=int, default=200)
+    ap.add_argument("--workers", type=int, default=max(1, os.cpu_count()))
+    args = ap.parse_args()
+
+    from centernet_tpu.data import (
+        CategoryIdToClass,
+        CenterDetectionSample,
+        ComposeSample,
+        ImageAugmentation,
+        Normalize,
+        detection_train_augmenter,
+    )
+    from centernet_tpu.data.loader import DataLoader
+    from centernet_tpu.tasks.detection import CenterNetDetection
+    from tests.utilities import CocoFakeDataset
+
+    aug = detection_train_augmenter(args.size)
+    norm = Normalize(CenterNetDetection.mean, CenterNetDetection.std)
+    stage_aug = ImageAugmentation(aug, norm)
+    stage_cls = CategoryIdToClass(CenterNetDetection.valid_ids)
+    stage_enc = CenterDetectionSample()
+    pipeline = ComposeSample([stage_aug, stage_cls, stage_enc])
+
+    ds_raw = CocoFakeDataset(transforms=None, length=args.n, size=args.size)
+
+    # per-stage breakdown (single thread)
+    img, target = ds_raw[0]
+    t0 = time.perf_counter()
+    for i in range(args.n):
+        a_img, a_t = stage_aug(img, target)
+    t_aug = (time.perf_counter() - t0) / args.n
+    a_img, a_t = stage_cls(a_img, a_t)
+    t0 = time.perf_counter()
+    for i in range(args.n):
+        stage_enc(a_img, a_t)
+    t_enc = (time.perf_counter() - t0) / args.n
+
+    t0 = time.perf_counter()
+    for i in range(args.n):
+        pipeline(img, target)
+    t_full = (time.perf_counter() - t0) / args.n
+
+    print(f"single-thread: aug {t_aug*1e3:.2f} ms, encode {t_enc*1e3:.2f} ms,"
+          f" full {t_full*1e3:.2f} ms -> {1.0/t_full:.1f} samples/s/core")
+
+    # threaded loader end to end
+    ds = CocoFakeDataset(transforms=pipeline, length=args.n, size=args.size)
+    loader = DataLoader(ds, batch_size=8, num_workers=args.workers,
+                        shuffle=False)
+    n_img = 0
+    t0 = time.perf_counter()
+    for imgs, tgt in loader:
+        n_img += imgs.shape[0]
+    dt = time.perf_counter() - t0
+    print(f"DataLoader({args.workers} threads, {os.cpu_count()} cpus): "
+          f"{n_img/dt:.1f} samples/s")
+
+
+if __name__ == "__main__":
+    main()

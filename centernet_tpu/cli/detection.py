@@ -31,19 +31,25 @@ from .common import add_data_args, add_model_args, add_trainer_args, parse_miles
 
 
 def build_pipelines(task, input_size: int = 512):
+    """Host side = augmentation + class mapping + annotation padding; the
+    gaussian-splat target encoding runs ON DEVICE inside the jitted step
+    (task.encode_targets) — ~300 ms/sample of host CPU per sample saved vs
+    host-side encoding (see benchmarks/bench_input_pipeline.py)."""
+    from ..data import PaddedAnnotationSample
+
     norm = Normalize(task.mean, task.std)
     train_transform = ComposeSample(
         [
             ImageAugmentation(detection_train_augmenter(input_size), norm),
             CategoryIdToClass(task.valid_ids),
-            CenterDetectionSample(),
+            PaddedAnnotationSample(max_objects=task.max_objs),
         ]
     )
     valid_transform = ComposeSample(
         [
             ImageAugmentation(eval_augmenter(input_size), norm),
             CategoryIdToClass(task.valid_ids),
-            CenterDetectionSample(),
+            PaddedAnnotationSample(max_objects=task.max_objs),
         ]
     )
     return train_transform, valid_transform

@@ -32,21 +32,20 @@ from .common import add_data_args, add_model_args, add_trainer_args, parse_miles
 
 def build_pipelines(task, input_size: int = 512):
     norm = Normalize(task.mean, task.std)
+    # target encoding runs on device (task.encode_targets); host pads only
+    from ..data import PaddedAnnotationSample
+
     train_transform = ComposeSample(
         [
             ImageAugmentation(pose_train_augmenter(input_size), norm),
             PoseFlip(0.5),
-            MultiSampleTransform(
-                [CenterDetectionSample(num_classes=1), MultiPoseSample()]
-            ),
+            PaddedAnnotationSample(),
         ]
     )
     valid_transform = ComposeSample(
         [
             ImageAugmentation(eval_augmenter(input_size), norm),
-            MultiSampleTransform(
-                [CenterDetectionSample(num_classes=1), MultiPoseSample()]
-            ),
+            PaddedAnnotationSample(),
         ]
     )
     return train_transform, valid_transform

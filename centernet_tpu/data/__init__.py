@@ -1,6 +1,7 @@
 """Data pipeline: transforms, sample encoders, COCO dataset, device loader."""
 
 from .sample import (
+    PaddedAnnotationSample,
     CenterDetectionSample,
     MultiPoseSample,
     encode_detection,
@@ -24,6 +25,7 @@ from .transforms import (
 )
 
 __all__ = [
+    "PaddedAnnotationSample",
     "CenterDetectionSample",
     "MultiPoseSample",
     "encode_detection",

@@ -58,6 +58,8 @@ def make_train_step(task, tx) -> Callable:
 
     def train_step(state: TrainState, batch):
         img, target = batch
+        # raw padded annotations are encoded on device (vectorized splats)
+        target = task.maybe_encode_targets(img.shape[1:3], target)
 
         def loss_fn(params):
             outputs, mutated = task.model.apply(
@@ -88,6 +90,7 @@ def make_train_step(task, tx) -> Callable:
 def make_eval_step(task) -> Callable:
     def eval_step(state: TrainState, batch):
         img, target = batch
+        target = task.maybe_encode_targets(img.shape[1:3], target)
         outputs = task.model.apply(state.variables(), img, False)
         _, stats = task.loss(outputs, target)
         return stats

@@ -114,6 +114,23 @@ class CenterNet:
     def loss(self, outputs, target) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         raise NotImplementedError
 
+    # -- on-device target encoding ---------------------------------------------
+
+    def maybe_encode_targets(self, input_hw: Tuple[int, int], target):
+        """If ``target`` holds raw padded annotations (produced by
+        ``data.PaddedAnnotationSample``), run the task's vectorized target
+        encoder on device inside the jitted step; already-encoded targets
+        pass through.  This moves the exp-heavy gaussian splats off the host
+        (the reference encodes per-sample in DataLoader workers,
+        sample/ctdet.py:39-90 — microseconds on the VPU vs ~300 ms/sample of
+        host CPU here)."""
+        if "boxes" in target:
+            return self.encode_targets(input_hw, target)
+        return target
+
+    def encode_targets(self, input_hw: Tuple[int, int], target):
+        raise NotImplementedError
+
     def configure_optimizer(self, steps_per_epoch: int = 1) -> optax.GradientTransformation:
         """Adam with MultiStepLR(milestones, gamma=0.1) stepped per epoch
         (reference centernet.py:94-105). ``steps_per_epoch`` converts the

@@ -82,6 +82,22 @@ class CenterNetDetection(CenterNet):
 
     # -- loss (pure) -----------------------------------------------------------
 
+    def encode_targets(self, input_hw, target):
+        """Batched on-device detection target encoding (see
+        CenterNet.maybe_encode_targets)."""
+        from ..data.sample import encode_detection
+
+        fn = functools.partial(
+            encode_detection,
+            input_hw=tuple(input_hw),
+            num_classes=self.num_classes,
+            down_ratio=self.down_ratio,
+            gaussian_type="umich",
+        )
+        return jax.vmap(fn)(
+            target["boxes"], target["classes"], target["valid"]
+        )
+
     def loss(self, outputs, target):
         """Weighted multi-head loss averaged over stacks
         (reference centernet_detection.py:97-130)."""

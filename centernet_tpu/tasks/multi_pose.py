@@ -76,6 +76,36 @@ class CenterNetMultiPose(CenterNet):
         self.test_max_per_image = test_max_per_image
         self.decode_k = decode_k
 
+    def encode_targets(self, input_hw, target):
+        """Batched on-device pose target encoding: union of the 1-class
+        detection targets and the keypoint targets (the reference fans out to
+        both encoders via MultiSampleTransform, centernet_multi_pose.py:374)."""
+        import functools
+
+        from ..data.sample import encode_detection, encode_multi_pose
+
+        det_fn = functools.partial(
+            encode_detection,
+            input_hw=tuple(input_hw),
+            num_classes=1,
+            down_ratio=self.down_ratio,
+            gaussian_type="umich",
+        )
+        pose_fn = functools.partial(
+            encode_multi_pose,
+            input_hw=tuple(input_hw),
+            num_joints=self.num_joints,
+            down_ratio=self.down_ratio,
+            gaussian_type="msra",
+        )
+        det = jax.vmap(det_fn)(
+            target["boxes"], target["classes"], target["valid"]
+        )
+        pose = jax.vmap(pose_fn)(
+            target["boxes"], target["keypoints_raw"], target["valid"]
+        )
+        return {**det, **pose}
+
     # -- loss ------------------------------------------------------------------
 
     def loss(self, outputs, target):
