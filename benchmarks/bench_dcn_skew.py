@@ -1,0 +1,142 @@
+"""Quantify the stencil/banded (clamped-offset) vs exact-gather DCN skew
+(VERDICT round-1 item 8).
+
+Protocol: briefly train dla_34 on the fake-COCO fixture so the offset convs
+learn non-zero offsets, then on identical inputs compare, per DCN
+implementation and radius, (a) the distribution of learned offsets against
+the clamp radius and (b) the decoded detections (box/score deltas) against
+the exact unbounded gather path.
+
+Run on TPU: python benchmarks/bench_dcn_skew.py [--steps 150] [--size 128]
+Numbers land in BENCHMARKS.md ("DCN clamp skew").
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=150)
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from centernet_tpu import CenterNetDetection
+    from centernet_tpu.data import (
+        CategoryIdToClass,
+        ComposeSample,
+        ImageAugmentation,
+        Identity,
+        Normalize,
+        PaddedAnnotationSample,
+    )
+    from centernet_tpu.data.loader import DataLoader
+    from centernet_tpu.parallel.mesh import make_mesh
+    from centernet_tpu.parallel.trainer import Trainer
+    from tests.utilities import CocoFakeDataset
+
+    size = args.size
+    task = CenterNetDetection("dla_34", learning_rate=5e-4, dtype=jnp.bfloat16)
+    pipe = ComposeSample(
+        [
+            ImageAugmentation(Identity(), Normalize(task.mean, task.std)),
+            CategoryIdToClass(task.valid_ids),
+            PaddedAnnotationSample(),
+        ]
+    )
+    ds = CocoFakeDataset(transforms=pipe, length=args.batch, size=size)
+    loader = DataLoader(ds, batch_size=args.batch, num_workers=0,
+                        shuffle=False)
+
+    os.environ["CENTERNET_TPU_DCN_IMPL"] = "stencil"
+    trainer = Trainer(
+        task, mesh=make_mesh(n_data=1), max_epochs=args.steps,
+        limit_train_batches=1, log_every_n_steps=50,
+    )
+    trainer.init_state(input_hw=(size, size))
+    state = trainer.fit(loader)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    # ---- offset distribution: forward once, capture all DCN offsets -------
+    img = next(iter(loader))[0][:1]
+    img_j = jnp.asarray(img)
+
+    from flax import linen as nn
+    from centernet_tpu.ops import dcn as dcn_mod
+
+    captured = []
+    orig_call = dcn_mod.DCN.__call__
+
+    def spy_call(self, x, train=False):
+        kk = self.kernel_size * self.kernel_size
+        conv_offset = nn.Conv(
+            3 * kk, (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding),
+                     (self.padding, self.padding)),
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            use_bias=True, name="conv_offset_mask",
+        )(x)
+        o1, o2, _ = jnp.split(conv_offset, [kk, 2 * kk], axis=-1)
+        captured.append(np.asarray(jnp.concatenate([o1, o2], -1),
+                                   np.float32).ravel())
+        return orig_call(self, x, train)
+
+    dcn_mod.DCN.__call__ = spy_call
+    try:
+        task.model.apply(variables, img_j, False)
+    finally:
+        dcn_mod.DCN.__call__ = orig_call
+    offs = np.concatenate(captured)
+    qs = np.percentile(np.abs(offs), [50, 90, 99, 99.9, 100])
+    print(f"offsets after {args.steps} steps: |off| p50={qs[0]:.2f} "
+          f"p90={qs[1]:.2f} p99={qs[2]:.2f} p99.9={qs[3]:.2f} "
+          f"max={qs[4]:.2f} px")
+    for r in (1, 2, 3, 4):
+        frac = float((np.abs(offs) > r).mean())
+        print(f"  fraction |off| > {r}: {frac:.4f}")
+
+    # ---- decode deltas vs exact gather -------------------------------------
+    def decode_with(impl, radius):
+        os.environ["CENTERNET_TPU_DCN_IMPL"] = impl
+        os.environ["CENTERNET_TPU_DCN_RADIUS"] = str(radius)
+        out = task.model.apply(variables, img_j, False)
+        from centernet_tpu.ops.decode import ctdet_decode
+        from centernet_tpu.ops.losses import sigmoid_clamped
+
+        o = out[-1]
+        dets = ctdet_decode(
+            sigmoid_clamped(o["heatmap"].astype(jnp.float32)),
+            o["width_height"].astype(jnp.float32),
+            o["regression"].astype(jnp.float32),
+            k=100,
+        )
+        return np.asarray(dets[0], np.float32)
+
+    ref = decode_with("gather", 4)
+    keep = ref[:, 4] > 0.1
+    print(f"reference detections (score>0.1): {int(keep.sum())}")
+    for impl, r in (("banded", 4), ("stencil", 4), ("banded", 2),
+                    ("stencil", 2), ("banded", 1)):
+        d = decode_with(impl, r)
+        box_delta = np.abs(d[keep, :4] - ref[keep, :4])
+        score_delta = np.abs(d[keep, 4] - ref[keep, 4])
+        print(f"{impl} r={r}: box max {box_delta.max():.3f} px "
+              f"mean {box_delta.mean():.4f} px | score max "
+              f"{score_delta.max():.4f} mean {score_delta.mean():.5f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=512)
-    ap.add_argument("--n", type=int, default=200)
+    ap.add_argument("--n", type=int, default=30)
     ap.add_argument("--workers", type=int, default=max(1, os.cpu_count()))
     args = ap.parse_args()
 
@@ -51,13 +51,15 @@ def main():
 
     ds_raw = CocoFakeDataset(transforms=None, length=args.n, size=args.size)
 
-    # per-stage breakdown (single thread)
+    # per-stage breakdown (single thread); warm the jit caches first
     img, target = ds_raw[0]
+    pipeline(img, target)
     t0 = time.perf_counter()
     for i in range(args.n):
         a_img, a_t = stage_aug(img, target)
     t_aug = (time.perf_counter() - t0) / args.n
     a_img, a_t = stage_cls(a_img, a_t)
+    stage_enc(a_img, a_t)  # warm
     t0 = time.perf_counter()
     for i in range(args.n):
         stage_enc(a_img, a_t)
@@ -71,10 +73,21 @@ def main():
     print(f"single-thread: aug {t_aug*1e3:.2f} ms, encode {t_enc*1e3:.2f} ms,"
           f" full {t_full*1e3:.2f} ms -> {1.0/t_full:.1f} samples/s/core")
 
-    # threaded loader end to end
-    ds = CocoFakeDataset(transforms=pipeline, length=args.n, size=args.size)
+    # production path: host does aug + padding only (on-device encoding)
+    from centernet_tpu.data import PaddedAnnotationSample
+
+    prod = ComposeSample([stage_aug, stage_cls, PaddedAnnotationSample()])
+    t0 = time.perf_counter()
+    for i in range(args.n):
+        prod(img, target)
+    t_prod = (time.perf_counter() - t0) / args.n
+    print(f"on-device-encoding host side: {t_prod*1e3:.2f} ms "
+          f"-> {1.0/t_prod:.1f} samples/s/core")
+
+    # threaded loader end to end (production pipeline)
+    ds = CocoFakeDataset(transforms=prod, length=args.n, size=args.size)
     loader = DataLoader(ds, batch_size=8, num_workers=args.workers,
-                        shuffle=False)
+                        shuffle=False, drop_last=False)
     n_img = 0
     t0 = time.perf_counter()
     for imgs, tgt in loader:

@@ -13,18 +13,29 @@ onto the TPU's dense units: XLA's TPU gather moves ~25-35 GB/s (measured on
 v5e, any slice shape) and its BACKWARD is a scatter-add that is another two
 orders of magnitude slower. The implementation hierarchy:
 
-* ``stencil_deform_conv`` (training default) — gather-free: offsets clamped
-  to +-radius, each tap's bilinear sample expanded over the (2r+2)^2 static
-  integer shifts it can touch (dense VPU stencil + per-tap MXU matmul),
-  with a custom VJP whose backward is the transposed stencil — all dense.
-* ``dcn_v2`` / ``deform_sample`` (inference default) — exact unbounded
-  semantics: per tap, all four bilinear corners fetched with one
-  ``lax.gather`` of [2, 2, Ci] blocks, scanned over taps.
+* ``banded_deform_conv`` (round-2 fast path) — offsets clamped to
+  +-radius; only the Y axis pays the dense (2r+2) row-shift expansion,
+  the X-axis bilinear selection is a per-row one-hot BAND MATRIX
+  contracted on the MXU; exact bilinear numerics within the clamp, plain
+  autodiff (dense matmul transposes; no scatter), remat under training.
+* ``stencil_deform_conv`` — round-1 dense path: each tap's bilinear sample
+  expanded over all (2r+2)^2 static integer shifts (HBM-bound shifted FMA
+  passes) with a custom dense VJP.
+* ``dcn_v2`` / ``deform_sample`` — exact unbounded semantics: per tap, all
+  four bilinear corners fetched with one ``lax.gather`` of [2, 2, Ci]
+  blocks, scanned over taps; forward-only in practice (scatter backward).
 * ``window_deform_conv`` — ONE gather per output position of an 8x8xCi
   floating window + one-hot MXU readout; exact unless a position's tap
   spread exceeds the window.
-* ``dcn_pallas.pallas_stencil_deform_conv`` — experimental Pallas kernel.
+* ``dcn_pallas.pallas_deform_conv_fwd`` — exact lane-gather Pallas kernel;
+  numerically correct but unusable on the current axon runtime (~30-45 ms
+  per-call invocation tax + ~2% of ideal codegen throughput — measured,
+  see BENCHMARKS.md "Pallas DCN investigation").
 * plain-conv ablation (CENTERNET_TPU_DCN_IMPL=conv) for perf attribution.
+
+``CENTERNET_TPU_DCN_IMPL`` selects banded|stencil|gather|window|pallas|conv;
+``CENTERNET_TPU_DCN_RADIUS`` sets the clamp radius (default 4; the
+clamp-vs-exact skew is quantified in benchmarks/bench_dcn_skew.py).
 
 Out-of-bounds samples contribute zero, matching the reference CUDA kernel's
 semantics.
@@ -214,6 +225,9 @@ def stencil_deform_conv(
     kxs = (jnp.arange(kk) % kernel_size) * dilation - padding
 
     span = 2 * r + 2  # integer shifts per axis a clamped offset can touch
+    # f32 inputs demand true-f32 matmuls (default matmul precision runs
+    # bf16 passes even for f32 operands)
+    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
 
     def tap(acc, xs):
         ky, kx, off_k, m_k, w_k = xs
@@ -238,7 +252,8 @@ def stencil_deform_conv(
                 col = col + wgt * shifted
         col = col * m_k[..., None].astype(x.dtype)
         term = jnp.einsum(
-            "bhwc,co->bhwo", col, w_k, preferred_element_type=jnp.float32
+            "bhwc,co->bhwo", col, w_k,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         return acc + term, None
 
@@ -355,6 +370,96 @@ def _stencil_bwd(kernel_size, stride, padding, dilation, radius, res, g):
 
 
 stencil_deform_conv.defvjp(_stencil_fwd, _stencil_bwd)
+
+
+def banded_deform_conv(
+    x: jax.Array,  # [B, H, W, Ci]
+    offsets: jax.Array,  # [B, H, W, 2*KK]
+    mask: jax.Array,  # [B, H, W, KK]
+    weight: jax.Array,  # [KK*Ci, Co]
+    bias: jax.Array,
+    kernel_size: int = 3,
+    stride: int = 1,
+    padding: int = 1,
+    dilation: int = 1,
+    radius: int = 4,
+) -> jax.Array:
+    """Banded-matmul modulated deformable conv — MXU fast path (pure XLA).
+
+    Same numerics contract as ``stencil_deform_conv`` (offsets clamped to
+    +-radius, zero outside the image), but instead of expanding the bilinear
+    product over all (2r+2)^2 integer shifts as HBM-bound shifted FMA passes,
+    only the Y axis is densely expanded (2r+2 row shifts); the X-axis
+    bilinear selection becomes a per-row banded ONE-HOT MATRIX contracted on
+    the MXU:
+
+        col_k[p] = sum_dy wy_k,dy(p) * (Mx_k[p, :] @ xrows_dy[p_row, :, :])
+
+    where Mx_k[b, h, w, q] holds (1-fx) at q = x0(p) and fx at q = x0+1 —
+    two nonzeros per output position over the W+2r+k halo columns.  HBM
+    passes drop from 9*(2r+2)^2 (=900 at r=4) to ~9*(2r+2) plus the one-hot
+    materialization; the selection work rides the MXU.  Gradients are plain
+    autodiff (dense matmuls; the one-hot comparisons carry no gradient, the
+    fx/wy factors carry exactly the bilinear derivative) — wrap in
+    ``jax.checkpoint`` for training so the one-hot tensors are recomputed
+    rather than saved.
+
+    Measured (v5e, B8 512^2-scale dominant layer, bf16): see BENCHMARKS.md.
+    """
+    b, h, w, ci = x.shape
+    kk = kernel_size * kernel_size
+    co = weight.shape[-1]
+    assert stride == 1, "banded path supports stride-1 same-size DCN"
+    r = radius
+    span = 2 * r + 2
+    lo = padding + r
+    hi = (kernel_size - 1) * dilation - padding + r + 1
+    wh = w + lo + hi
+    dt = x.dtype
+
+    xpad = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
+    w_taps = weight.reshape(kk, ci, co)
+    # f32 inputs demand true-f32 matmuls (TPU dots default to bf16 passes);
+    # bf16 production inputs keep the fast default.
+    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+
+    off = jnp.clip(offsets.reshape(b, h, w, kk, 2), -r, r)
+    qx = jnp.arange(wh, dtype=jnp.int32)  # halo column index
+    px = jnp.arange(w, dtype=jnp.int32)
+
+    out = jnp.zeros((b, h, w, co), jnp.float32)
+    for k in range(kk):
+        ky = (k // kernel_size) * dilation - padding
+        kx = (k % kernel_size) * dilation - padding
+        oy = off[:, :, :, k, 0]
+        ox = off[:, :, :, k, 1]
+        oxf = jnp.floor(ox)
+        fx = (ox - oxf).astype(dt)
+        # one-hot bilinear x-selection matrix [B, H, W, WH] (halo coords;
+        # the zero padding supplies zero-outside-image semantics)
+        x0 = px[None, None, :] + (kx + lo) + oxf.astype(jnp.int32)
+        mx = jnp.where(qx == x0[..., None], (1.0 - fx)[..., None], 0.0) + \
+            jnp.where(qx == x0[..., None] + 1, fx[..., None], 0.0)
+        mx = mx.astype(dt)
+
+        col = jnp.zeros((b, h, w, ci), jnp.float32)
+        for dy in range(span):
+            sy = ky - r + dy
+            xrows = jax.lax.dynamic_slice(
+                xpad, (0, lo + sy, 0, 0), (b, h, wh, ci)
+            )
+            t_dy = jnp.einsum(
+                "bhwq,bhqc->bhwc", mx, xrows,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(oy - float(dy - r)))
+            col = col + wy[..., None] * t_dy
+        colm = (col * mask[:, :, :, k : k + 1]).astype(dt)
+        out = out + jnp.einsum(
+            "bhwc,co->bhwo", colm, w_taps[k],
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+    return out + bias
 
 
 WINDOW = 8  # floating-window side (see window_deform_conv)
@@ -584,6 +689,7 @@ class DCN(nn.Module):
         impl = os.environ.get(
             "CENTERNET_TPU_DCN_IMPL", "stencil" if train else "gather"
         )
+        radius = int(os.environ.get("CENTERNET_TPU_DCN_RADIUS", "4"))
         conv_offset = nn.Conv(
             3 * kk,
             (self.kernel_size, self.kernel_size),
@@ -623,6 +729,20 @@ class DCN(nn.Module):
                 self.padding,
                 self.dilation,
             )
+        if impl == "banded":
+            # remat: the one-hot selection tensors are cheap to recompute
+            # in the backward pass, expensive to save.
+            fn = _functools.partial(
+                banded_deform_conv,
+                kernel_size=self.kernel_size,
+                stride=self.stride,
+                padding=self.padding,
+                dilation=self.dilation,
+                radius=radius,
+            )
+            if train:
+                fn = jax.checkpoint(fn)
+            return fn(x, offsets, mask, weight, bias)
         if impl == "stencil":
             # custom VJP already keeps only (x, offsets, mask, weight) as
             # residuals — no remat needed.
@@ -636,12 +756,12 @@ class DCN(nn.Module):
                 self.stride,
                 self.padding,
                 self.dilation,
-                4,  # radius
+                radius,
             )
         if impl == "pallas":
-            from .dcn_pallas import pallas_stencil_deform_conv
+            from .dcn_pallas import pallas_deform_conv_fwd
 
-            return pallas_stencil_deform_conv(
+            return pallas_deform_conv_fwd(
                 x,
                 offsets,
                 mask,
@@ -651,7 +771,7 @@ class DCN(nn.Module):
                 self.stride,
                 self.padding,
                 self.dilation,
-                radius=4,
+                radius=radius,
             )
         if impl == "conv":
             k = self.kernel_size

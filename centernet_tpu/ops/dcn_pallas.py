@@ -28,13 +28,17 @@ Kernel layout: tiles are [rows(plane), C(sublane), W(lane)], so
     CUDA kernel),
   - per tap the accumulated column block contracts with W_k on the MXU.
 
-The backward (custom VJP in ops.dcn) recomputes columns with the same
-gather structure; dx uses the transposed stencil as dense shifted FMA
-passes (a lane *scatter* does not exist on TPU).
+STATUS (round 2, measured honestly — single-call scalar-fetch timing):
+numerically exact, but NOT viable on the current axon runtime: every
+pallas_call pays a ~30-45 ms invocation tax and Mosaic executes the body
+at ~250 GB/s effective VMEM bandwidth / ~4 Tflop/s in-kernel MXU (~2% of
+the chip), giving ~360 ms/img/layer marginal vs 2.4 ms for the XLA dense
+stencil.  The production fast path is ``ops.dcn.banded_deform_conv`` (the
+same banded-selection idea expressed as XLA batched matmuls); this kernel
+is kept for runtimes with sane Pallas dispatch.  Forward only.
 
 Constraints: stride 1, same-size output (the only config the model zoo
-uses), feature width <= 128 (single-vreg lane gather).  The ops.dcn.DCN
-module falls back to the XLA paths otherwise.
+uses), feature width <= 128 (single-vreg lane gather).
 """
 
 from __future__ import annotations

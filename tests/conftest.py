@@ -18,6 +18,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is compile-dominated on CPU (the
+# dla_34 train/TTA graphs alone cost ~5 min); cache compiled executables
+# across test processes/runs (VERDICT round-1 wall-clock item).
+_cache_dir = os.environ.get(
+    "CENTERNET_TPU_TEST_CACHE", "/tmp/centernet_tpu_jax_cache"
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

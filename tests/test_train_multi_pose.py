@@ -43,7 +43,10 @@ def test_train_and_tta_multi_pose():
     task = CenterNetMultiPose(
         "dla_34",
         learning_rate=1e-4,
-        test_scales=[0.75, 1.0],
+        # single-scale + flip: the multi-scale soft-NMS merge is exercised
+        # by the detection TTA smoke and the soft_nms_39 oracle tests; a
+        # second dla_34 predict graph costs ~90 s of CPU compile here.
+        test_scales=[1.0],
         test_flip=True,
     )
 
