@@ -12,11 +12,47 @@ automatically — no hand-written collectives, no NCCL analog needed.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_DISTRIBUTED_INITIALIZED = False
+
+
+def maybe_init_distributed() -> bool:
+    """Initialize the multi-process JAX runtime when launched as one
+    process per host (TPU slices / multi-host pods).
+
+    Gated behind ``CENTERNET_TPU_DISTRIBUTED=1`` because
+    ``jax.distributed.initialize`` blocks waiting for all processes — on a
+    single-host run (the reference's single-node DDP equivalent) it must
+    not be called.  On TPU pods JAX infers coordinator/process_id from the
+    environment; explicit overrides via JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID are honored when set.
+
+    After initialization, ``jax.devices()`` spans every chip in the slice,
+    so ``make_mesh()`` + the jitted train step transparently become
+    multi-host data parallelism (global-batch semantics; XLA emits ICI/DCN
+    collectives).  Returns True if initialization ran.
+    """
+    global _DISTRIBUTED_INITIALIZED
+    if _DISTRIBUTED_INITIALIZED:
+        return True
+    if os.environ.get("CENTERNET_TPU_DISTRIBUTED", "0") != "1":
+        return False
+    kwargs = {}
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        kwargs["coordinator_address"] = os.environ["JAX_COORDINATOR_ADDRESS"]
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
+    _DISTRIBUTED_INITIALIZED = True
+    return True
 
 
 def make_mesh(
@@ -29,7 +65,11 @@ def make_mesh(
     With ``n_model == 1`` (default) this is pure data parallelism — the
     layout the reference's DDP maps to. Device order follows
     ``jax.devices()`` so the data axis rides ICI neighbours first.
+
+    Multi-host: when ``CENTERNET_TPU_DISTRIBUTED=1`` the multi-process
+    runtime is initialized first and the mesh spans the full slice.
     """
+    maybe_init_distributed()
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
