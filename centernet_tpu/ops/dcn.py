@@ -675,20 +675,20 @@ class DCN(nn.Module):
         import os
 
         kk = self.kernel_size * self.kernel_size
-        # Implementation selection. Measured on v5e (dla_34, 512^2, bf16):
-        #   training img/s/chip: stencil-vjp 1.9 / gather 0.3 (a gather's
-        #     backward is a scatter-add, ~100x slower than the gather);
-        #   inference img/s/chip: gather 34 / stencil(r=4) 9.
-        # Hence the mode-adaptive default: stencil (custom dense VJP,
-        # offsets clamped to +-4, zero grad beyond) when training; the exact
-        # unbounded gather path at inference. All paths remain far from the
-        # ~0.05 ms/layer dense-op bound — XLA's TPU gather moves ~25 GB/s —
-        # the planned fix is a lane-transposed Pallas stencil kernel
-        # (see dcn_pallas.py). CENTERNET_TPU_DCN_IMPL overrides:
-        # gather | stencil | window | pallas | conv (plain-conv ablation).
-        impl = os.environ.get(
-            "CENTERNET_TPU_DCN_IMPL", "stencil" if train else "gather"
-        )
+        # Implementation selection. Measured per layer at the dominant DLA
+        # scale (128^2 x 64->64, bf16, v5e, single-call scalar-fetch batch
+        # differencing — BENCHMARKS.md):
+        #   forward ms/img:   banded r=4 1.30 | banded r=2 0.93 |
+        #                     gather 2.65 | stencil r=4 5.73
+        #   fwd+bwd ms/img:   banded r=4 4.78 (stencil-vjp was ~7x slower)
+        # banded (one-hot band matrix on the MXU, offsets clamped to
+        # +-radius, exact bilinear within the clamp) is the default for
+        # both training and inference. CENTERNET_TPU_DCN_IMPL overrides:
+        # banded | gather (exact unbounded) | stencil | window | pallas |
+        # conv (plain-conv ablation); CENTERNET_TPU_DCN_RADIUS sets the
+        # clamp (default 4; clamp-vs-exact skew quantified in
+        # benchmarks/bench_dcn_skew.py).
+        impl = os.environ.get("CENTERNET_TPU_DCN_IMPL", "banded")
         radius = int(os.environ.get("CENTERNET_TPU_DCN_RADIUS", "4"))
         conv_offset = nn.Conv(
             3 * kk,

@@ -1,0 +1,66 @@
+"""banded_deform_conv: forward parity with the stencil contract + gradient
+parity with the stencil custom VJP (same clamped-offset semantics, match:
+reference DCNv2 pose_dla_dcn.py:441-449 within the documented clamp)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from centernet_tpu.ops.dcn import banded_deform_conv, stencil_deform_conv
+
+H, W, C, CO = 16, 16, 8, 8
+
+
+def _args(seed=0, b=2):
+    rng = np.random.default_rng(seed)
+    return (
+        jnp.asarray(rng.standard_normal((b, H, W, C)), jnp.float32),
+        jnp.asarray(rng.uniform(-6, 6, (b, H, W, 18)), jnp.float32),
+        jnp.asarray(rng.uniform(0, 1, (b, H, W, 9)), jnp.float32),
+        jnp.asarray(rng.standard_normal((9 * C, CO)) * 0.1, jnp.float32),
+        jnp.asarray(rng.standard_normal(CO) * 0.1, jnp.float32),
+    )
+
+
+@pytest.mark.parametrize("radius", [2, 4])
+def test_banded_forward_matches_stencil(radius):
+    a = _args()
+    got = np.array(banded_deform_conv(*a, 3, 1, 1, 1, radius))
+    ref = np.array(stencil_deform_conv(*a, 3, 1, 1, 1, radius))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=1e-5 * scale, rtol=1e-5)
+
+
+def test_banded_grads_match_stencil_vjp():
+    a = _args(seed=1, b=1)
+
+    def loss(op):
+        def f(x, o, m, w, bi):
+            return jnp.sum(op(x, o, m, w, bi, 3, 1, 1, 1, 4) ** 2)
+
+        return jax.grad(f, argnums=(0, 1, 2, 3))(*a)
+
+    g_b = loss(banded_deform_conv)
+    g_s = loss(stencil_deform_conv)
+    for name, u, v in zip(("dx", "doffsets", "dmask", "dweight"), g_b, g_s):
+        u, v = np.array(u), np.array(v)
+        scale = max(np.abs(v).max(), 1e-6)
+        np.testing.assert_allclose(
+            u, v, atol=5e-4 * scale, rtol=1e-3, err_msg=name
+        )
+
+
+def test_banded_wide_feature_maps():
+    """banded has no width restriction (unlike the Pallas kernel)."""
+    rng = np.random.default_rng(2)
+    b, h, w, c = 1, 8, 160, 4
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    off = jnp.asarray(rng.uniform(-3, 3, (b, h, w, 18)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(0, 1, (b, h, w, 9)), jnp.float32)
+    wgt = jnp.asarray(rng.standard_normal((9 * c, 4)) * 0.1, jnp.float32)
+    bias = jnp.zeros(4, jnp.float32)
+    got = np.array(banded_deform_conv(x, off, mask, wgt, bias, 3, 1, 1, 1, 4))
+    ref = np.array(stencil_deform_conv(x, off, mask, wgt, bias, 3, 1, 1, 1, 4))
+    np.testing.assert_allclose(got, ref, atol=1e-5 * np.abs(ref).max(),
+                               rtol=1e-5)
