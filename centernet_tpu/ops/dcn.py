@@ -681,14 +681,22 @@ class DCN(nn.Module):
         #   forward ms/img:   banded r=4 1.30 | banded r=2 0.93 |
         #                     gather 2.65 | stencil r=4 5.73
         #   fwd+bwd ms/img:   banded r=4 4.78 (stencil-vjp was ~7x slower)
-        # banded (one-hot band matrix on the MXU, offsets clamped to
-        # +-radius, exact bilinear within the clamp) is the default for
-        # both training and inference. CENTERNET_TPU_DCN_IMPL overrides:
-        # banded | gather (exact unbounded) | stencil | window | pallas |
-        # conv (plain-conv ablation); CENTERNET_TPU_DCN_RADIUS sets the
-        # clamp (default 4; clamp-vs-exact skew quantified in
+        # Per-scale (64^2 C128: banded 1.6 / gather 0.4; 32^2 C256:
+        # 0.35 / 0.03): gather cost scales with index count, banded with
+        # matmul shape quality — so the "auto" default picks banded on
+        # large maps and the exact gather on small ones at inference.
+        # Training always uses banded (gather's backward is a TPU
+        # scatter-add, ~100x slower). CENTERNET_TPU_DCN_IMPL overrides:
+        # auto | banded | gather (exact unbounded) | stencil | window |
+        # pallas | conv (plain-conv ablation); CENTERNET_TPU_DCN_RADIUS
+        # sets the clamp (default 4; clamp-vs-exact skew quantified in
         # benchmarks/bench_dcn_skew.py).
-        impl = os.environ.get("CENTERNET_TPU_DCN_IMPL", "banded")
+        impl = os.environ.get("CENTERNET_TPU_DCN_IMPL", "auto")
+        if impl == "auto":
+            if train or x.shape[2] >= 96:
+                impl = "banded"
+            else:
+                impl = "gather"
         radius = int(os.environ.get("CENTERNET_TPU_DCN_RADIUS", "4"))
         conv_offset = nn.Conv(
             3 * kk,
