@@ -24,11 +24,19 @@ inference => ~208 img/s. vs_baseline = value / (2 * 208).
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent compile cache: dla_34 graphs take minutes to build remotely
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/centernet_tpu_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 BASELINE_A100_IMG_S = 208.0  # assumed reference torch DLA-34 batched infer
 TARGET = 2.0 * BASELINE_A100_IMG_S

@@ -427,6 +427,15 @@ def banded_deform_conv(
     qx = jnp.arange(wh, dtype=jnp.int32)  # halo column index
     px = jnp.arange(w, dtype=jnp.int32)
 
+    # row-shifted views are shared across taps (sy = ky - r + dy spans
+    # [-pad-r, (k-1)d-pad+r+1] over all (tap, dy) pairs): slice each once
+    sy_min = -padding - r
+    sy_max = (kernel_size - 1) * dilation - padding + r + 1
+    xrows_by_sy = {
+        sy: jax.lax.dynamic_slice(xpad, (0, lo + sy, 0, 0), (b, h, wh, ci))
+        for sy in range(sy_min, sy_max + 1)
+    }
+
     out = jnp.zeros((b, h, w, co), jnp.float32)
     for k in range(kk):
         ky = (k // kernel_size) * dilation - padding
@@ -445,9 +454,7 @@ def banded_deform_conv(
         col = jnp.zeros((b, h, w, ci), jnp.float32)
         for dy in range(span):
             sy = ky - r + dy
-            xrows = jax.lax.dynamic_slice(
-                xpad, (0, lo + sy, 0, 0), (b, h, wh, ci)
-            )
+            xrows = xrows_by_sy[sy]
             t_dy = jnp.einsum(
                 "bhwq,bhqc->bhwc", mx, xrows,
                 preferred_element_type=jnp.float32, precision=prec,
