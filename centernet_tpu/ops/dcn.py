@@ -429,19 +429,25 @@ def banded_deform_conv(
 
     # row-shifted views are shared across taps (sy = ky - r + dy spans
     # [-pad-r, (k-1)d-pad+r+1] over all (tap, dy) pairs): slice each once
+    # and stack so the dy loop can be a lax.scan — the fully unrolled form
+    # (9 taps x (2r+2) einsums x layers) produced XLA graphs that took
+    # >25 min to compile for the 512^2 dla_34 training step.
     sy_min = -padding - r
     sy_max = (kernel_size - 1) * dilation - padding + r + 1
-    xrows_by_sy = {
-        sy: jax.lax.dynamic_slice(xpad, (0, lo + sy, 0, 0), (b, h, wh, ci))
-        for sy in range(sy_min, sy_max + 1)
-    }
+    xrows_all = jnp.stack(
+        [
+            jax.lax.dynamic_slice(xpad, (0, lo + sy, 0, 0), (b, h, wh, ci))
+            for sy in range(sy_min, sy_max + 1)
+        ]
+    )  # [n_sy, B, H, WH, Ci]
 
-    out = jnp.zeros((b, h, w, co), jnp.float32)
-    for k in range(kk):
-        ky = (k // kernel_size) * dilation - padding
-        kx = (k % kernel_size) * dilation - padding
-        oy = off[:, :, :, k, 0]
-        ox = off[:, :, :, k, 1]
+    kys = (jnp.arange(kk) // kernel_size) * dilation - padding
+    kxs = (jnp.arange(kk) % kernel_size) * dilation - padding
+
+    def tap_body(acc, xs):
+        ky, kx, off_k, m_k, w_k = xs
+        oy = off_k[..., 0]
+        ox = off_k[..., 1]
         oxf = jnp.floor(ox)
         fx = (ox - oxf).astype(dt)
         # one-hot bilinear x-selection matrix [B, H, W, WH] (halo coords;
@@ -450,22 +456,43 @@ def banded_deform_conv(
         mx = jnp.where(qx == x0[..., None], (1.0 - fx)[..., None], 0.0) + \
             jnp.where(qx == x0[..., None] + 1, fx[..., None], 0.0)
         mx = mx.astype(dt)
+        base = ky - r - sy_min  # stack offset of this tap's dy=0
 
-        col = jnp.zeros((b, h, w, ci), jnp.float32)
-        for dy in range(span):
-            sy = ky - r + dy
-            xrows = xrows_by_sy[sy]
+        def dy_body(col, dy):
+            xrows = jax.lax.dynamic_index_in_dim(
+                xrows_all, base + dy, axis=0, keepdims=False
+            )
             t_dy = jnp.einsum(
                 "bhwq,bhqc->bhwc", mx, xrows,
                 preferred_element_type=jnp.float32, precision=prec,
             )
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(oy - float(dy - r)))
-            col = col + wy[..., None] * t_dy
-        colm = (col * mask[:, :, :, k : k + 1]).astype(dt)
-        out = out + jnp.einsum(
-            "bhwc,co->bhwo", colm, w_taps[k],
+            wy = jnp.maximum(
+                0.0, 1.0 - jnp.abs(oy - (dy.astype(jnp.float32) - r))
+            )
+            return col + wy[..., None] * t_dy, None
+
+        col, _ = jax.lax.scan(
+            dy_body, jnp.zeros((b, h, w, ci), jnp.float32), jnp.arange(span)
+        )
+        colm = (col * m_k[..., None]).astype(dt)
+        term = jnp.einsum(
+            "bhwc,co->bhwo", colm, w_k,
             preferred_element_type=jnp.float32, precision=prec,
         )
+        return acc + term, None
+
+    init = jnp.zeros((b, h, w, co), jnp.float32)
+    out, _ = jax.lax.scan(
+        tap_body,
+        init,
+        (
+            kys,
+            kxs,
+            jnp.moveaxis(off, 3, 0),  # [KK, B, H, W, 2]
+            jnp.moveaxis(mask, 3, 0),  # [KK, B, H, W]
+            w_taps,
+        ),
+    )
     return out + bias
 
 
