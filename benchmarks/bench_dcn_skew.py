@@ -68,38 +68,29 @@ def main():
     state = trainer.fit(loader)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    # ---- offset distribution: forward once, capture all DCN offsets -------
+    # ---- offset distribution: forward once, capture offset-conv outputs ---
     img = next(iter(loader))[0][:1]
     img_j = jnp.asarray(img)
 
-    from flax import linen as nn
-    from centernet_tpu.ops import dcn as dcn_mod
+    _, inter = task.model.apply(
+        variables, img_j, False, capture_intermediates=True
+    )
+    offs_list = []
 
-    captured = []
-    orig_call = dcn_mod.DCN.__call__
+    def walk(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == "conv_offset_mask":
+                    out = v["__call__"][0]
+                    kk9 = out.shape[-1] // 3
+                    offs_list.append(
+                        np.asarray(out[..., : 2 * kk9], np.float32).ravel()
+                    )
+                else:
+                    walk(v)
 
-    def spy_call(self, x, train=False):
-        kk = self.kernel_size * self.kernel_size
-        conv_offset = nn.Conv(
-            3 * kk, (self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=((self.padding, self.padding),
-                     (self.padding, self.padding)),
-            kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.zeros,
-            use_bias=True, name="conv_offset_mask",
-        )(x)
-        o1, o2, _ = jnp.split(conv_offset, [kk, 2 * kk], axis=-1)
-        captured.append(np.asarray(jnp.concatenate([o1, o2], -1),
-                                   np.float32).ravel())
-        return orig_call(self, x, train)
-
-    dcn_mod.DCN.__call__ = spy_call
-    try:
-        task.model.apply(variables, img_j, False)
-    finally:
-        dcn_mod.DCN.__call__ = orig_call
-    offs = np.concatenate(captured)
+    walk(inter["intermediates"])
+    offs = np.concatenate(offs_list)
     qs = np.percentile(np.abs(offs), [50, 90, 99, 99.9, 100])
     print(f"offsets after {args.steps} steps: |off| p50={qs[0]:.2f} "
           f"p90={qs[1]:.2f} p99={qs[2]:.2f} p99.9={qs[3]:.2f} "
@@ -109,21 +100,26 @@ def main():
         print(f"  fraction |off| > {r}: {frac:.4f}")
 
     # ---- decode deltas vs exact gather -------------------------------------
+    from centernet_tpu.ops.decode import ctdet_decode
+    from centernet_tpu.ops.losses import sigmoid_clamped
+
     def decode_with(impl, radius):
         os.environ["CENTERNET_TPU_DCN_IMPL"] = impl
         os.environ["CENTERNET_TPU_DCN_RADIUS"] = str(radius)
-        out = task.model.apply(variables, img_j, False)
-        from centernet_tpu.ops.decode import ctdet_decode
-        from centernet_tpu.ops.losses import sigmoid_clamped
 
-        o = out[-1]
-        dets = ctdet_decode(
-            sigmoid_clamped(o["heatmap"].astype(jnp.float32)),
-            o["width_height"].astype(jnp.float32),
-            o["regression"].astype(jnp.float32),
-            k=100,
-        )
-        return np.asarray(dets[0], np.float32)
+        # fresh function object per call -> fresh trace, so the env-selected
+        # impl is baked into its own compiled graph
+        @jax.jit
+        def run(v, im):
+            o = task.model.apply(v, im, False)[-1]
+            return ctdet_decode(
+                sigmoid_clamped(o["heatmap"].astype(jnp.float32)),
+                o["width_height"].astype(jnp.float32),
+                o["regression"].astype(jnp.float32),
+                k=100,
+            )
+
+        return np.asarray(run(variables, img_j)[0], np.float32)
 
     ref = decode_with("gather", 4)
     keep = ref[:, 4] > 0.1

@@ -40,7 +40,7 @@ def main():
                                     (args.size, args.size))
     tx = task.configure_optimizer(1)
     state = TrainState.create(variables, tx)
-    step = jax.jit(make_train_step(task, tx), donate_argnums=(0,))
+    step = jax.jit(make_train_step(task, tx))
 
     rng = np.random.default_rng(0)
 
