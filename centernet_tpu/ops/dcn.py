@@ -383,6 +383,7 @@ def banded_deform_conv(
     padding: int = 1,
     dilation: int = 1,
     radius: int = 4,
+    unroll_taps: bool = False,
 ) -> jax.Array:
     """Banded-matmul modulated deformable conv — MXU fast path (pure XLA).
 
@@ -458,7 +459,11 @@ def banded_deform_conv(
         mx = mx.astype(dt)
         base = ky - r - sy_min  # stack offset of this tap's dy=0
 
-        def dy_body(col, dy):
+        # dy unrolled inside the single scanned tap body: one 10-einsum
+        # body compiles fast AND lets XLA fuse/overlap across row shifts
+        # (a nested dy-scan measured ~3x slower at runtime).
+        col = jnp.zeros((b, h, w, ci), jnp.float32)
+        for dy in range(span):
             xrows = jax.lax.dynamic_index_in_dim(
                 xrows_all, base + dy, axis=0, keepdims=False
             )
@@ -466,14 +471,8 @@ def banded_deform_conv(
                 "bhwq,bhqc->bhwc", mx, xrows,
                 preferred_element_type=jnp.float32, precision=prec,
             )
-            wy = jnp.maximum(
-                0.0, 1.0 - jnp.abs(oy - (dy.astype(jnp.float32) - r))
-            )
-            return col + wy[..., None] * t_dy, None
-
-        col, _ = jax.lax.scan(
-            dy_body, jnp.zeros((b, h, w, ci), jnp.float32), jnp.arange(span)
-        )
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(oy - float(dy - r)))
+            col = col + wy[..., None] * t_dy
         colm = (col * m_k[..., None]).astype(dt)
         term = jnp.einsum(
             "bhwc,co->bhwo", colm, w_k,
@@ -481,18 +480,24 @@ def banded_deform_conv(
         )
         return acc + term, None
 
-    init = jnp.zeros((b, h, w, co), jnp.float32)
-    out, _ = jax.lax.scan(
-        tap_body,
-        init,
-        (
-            kys,
-            kxs,
-            jnp.moveaxis(off, 3, 0),  # [KK, B, H, W, 2]
-            jnp.moveaxis(mask, 3, 0),  # [KK, B, H, W]
-            w_taps,
-        ),
+    xs_all = (
+        kys,
+        kxs,
+        jnp.moveaxis(off, 3, 0),  # [KK, B, H, W, 2]
+        jnp.moveaxis(mask, 3, 0),  # [KK, B, H, W]
+        w_taps,
     )
+    out = jnp.zeros((b, h, w, co), jnp.float32)
+    if unroll_taps:
+        # inference: fully unrolled taps let XLA overlap/fuse across taps
+        # (~20% faster end to end); training scans to keep the autodiff
+        # graph compile-tractable (the unrolled 512^2 dla_34 TRAIN graph
+        # took >30 min of XLA compile).
+        for k in range(kk):
+            out, _ = tap_body(out, jax.tree_util.tree_map(lambda a: a[k],
+                                                          xs_all))
+    else:
+        out, _ = jax.lax.scan(tap_body, out, xs_all)
     return out + bias
 
 
@@ -781,6 +786,7 @@ class DCN(nn.Module):
                 padding=self.padding,
                 dilation=self.dilation,
                 radius=radius,
+                unroll_taps=not train,
             )
             if train:
                 fn = jax.checkpoint(fn)
