@@ -480,24 +480,32 @@ def banded_deform_conv(
         )
         return acc + term, None
 
-    xs_all = (
-        kys,
-        kxs,
-        jnp.moveaxis(off, 3, 0),  # [KK, B, H, W, 2]
-        jnp.moveaxis(mask, 3, 0),  # [KK, B, H, W]
-        w_taps,
-    )
     out = jnp.zeros((b, h, w, co), jnp.float32)
     if unroll_taps:
-        # inference: fully unrolled taps let XLA overlap/fuse across taps
-        # (~20% faster end to end); training scans to keep the autodiff
-        # graph compile-tractable (the unrolled 512^2 dla_34 TRAIN graph
-        # took >30 min of XLA compile).
+        # inference: fully unrolled taps with STATIC tap constants and
+        # direct views (no tap-major transpose) let XLA overlap/fuse
+        # across taps; training scans to keep the autodiff graph
+        # compile-tractable (the unrolled 512^2 dla_34 TRAIN graph took
+        # >30 min of XLA compile).
         for k in range(kk):
-            out, _ = tap_body(out, jax.tree_util.tree_map(lambda a: a[k],
-                                                          xs_all))
+            ky = (k // kernel_size) * dilation - padding
+            kx = (k % kernel_size) * dilation - padding
+            out, _ = tap_body(
+                out,
+                (ky, kx, off[:, :, :, k, :], mask[:, :, :, k], w_taps[k]),
+            )
     else:
-        out, _ = jax.lax.scan(tap_body, out, xs_all)
+        out, _ = jax.lax.scan(
+            tap_body,
+            out,
+            (
+                kys,
+                kxs,
+                jnp.moveaxis(off, 3, 0),  # [KK, B, H, W, 2]
+                jnp.moveaxis(mask, 3, 0),  # [KK, B, H, W]
+                w_taps,
+            ),
+        )
     return out + bias
 
 

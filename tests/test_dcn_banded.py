@@ -24,9 +24,12 @@ def _args(seed=0, b=2):
 
 
 @pytest.mark.parametrize("radius", [2, 4])
-def test_banded_forward_matches_stencil(radius):
+@pytest.mark.parametrize("unroll", [False, True])
+def test_banded_forward_matches_stencil(radius, unroll):
     a = _args()
-    got = np.array(banded_deform_conv(*a, 3, 1, 1, 1, radius))
+    got = np.array(
+        banded_deform_conv(*a, 3, 1, 1, 1, radius, unroll_taps=unroll)
+    )
     ref = np.array(stencil_deform_conv(*a, 3, 1, 1, 1, radius))
     scale = np.abs(ref).max()
     np.testing.assert_allclose(got, ref, atol=1e-5 * scale, rtol=1e-5)
