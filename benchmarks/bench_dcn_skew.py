@@ -59,7 +59,7 @@ def main():
     loader = DataLoader(ds, batch_size=args.batch, num_workers=0,
                         shuffle=False)
 
-    os.environ["CENTERNET_TPU_DCN_IMPL"] = "stencil"
+    os.environ["CENTERNET_TPU_DCN_IMPL"] = "banded"
     trainer = Trainer(
         task, mesh=make_mesh(n_data=1), max_epochs=args.steps,
         limit_train_batches=1, log_every_n_steps=50,
@@ -92,12 +92,12 @@ def main():
     walk(inter["intermediates"])
     offs = np.concatenate(offs_list)
     qs = np.percentile(np.abs(offs), [50, 90, 99, 99.9, 100])
-    print(f"offsets after {args.steps} steps: |off| p50={qs[0]:.2f} "
-          f"p90={qs[1]:.2f} p99={qs[2]:.2f} p99.9={qs[3]:.2f} "
-          f"max={qs[4]:.2f} px")
+    print(f"offsets after {args.steps} steps: |off| p50={qs[0]:.4f} "
+          f"p90={qs[1]:.4f} p99={qs[2]:.4f} p99.9={qs[3]:.4f} "
+          f"max={qs[4]:.4f} px")
     for r in (1, 2, 3, 4):
         frac = float((np.abs(offs) > r).mean())
-        print(f"  fraction |off| > {r}: {frac:.4f}")
+        print(f"  fraction |off| > {r}: {frac:.6f}")
 
     # ---- decode deltas vs exact gather -------------------------------------
     from centernet_tpu.ops.decode import ctdet_decode
@@ -112,26 +112,39 @@ def main():
         @jax.jit
         def run(v, im):
             o = task.model.apply(v, im, False)[-1]
-            return ctdet_decode(
-                sigmoid_clamped(o["heatmap"].astype(jnp.float32)),
-                o["width_height"].astype(jnp.float32),
-                o["regression"].astype(jnp.float32),
-                k=100,
-            )
+            hm = sigmoid_clamped(o["heatmap"].astype(jnp.float32))
+            wh = o["width_height"].astype(jnp.float32)
+            rg = o["regression"].astype(jnp.float32)
+            return ctdet_decode(hm, wh, rg, k=100), {
+                "heatmap": hm, "width_height": wh, "regression": rg,
+            }
 
-        return np.asarray(run(variables, img_j)[0], np.float32)
+        dets, o = run(variables, img_j)
+        return np.asarray(dets[0], np.float32), {
+            k: np.asarray(v, np.float32) for k, v in o.items()
+        }
 
-    ref = decode_with("gather", 4)
-    keep = ref[:, 4] > 0.1
-    print(f"reference detections (score>0.1): {int(keep.sum())}")
+    ref, ref_maps = decode_with("gather", 4)
+    topk = min(20, ref.shape[0])
+    print(f"comparing top-{topk} decoded detections + raw output maps "
+          f"(ref = exact gather); ref top score {ref[0, 4]:.4f}")
     for impl, r in (("banded", 4), ("stencil", 4), ("banded", 2),
                     ("stencil", 2), ("banded", 1)):
-        d = decode_with(impl, r)
-        box_delta = np.abs(d[keep, :4] - ref[keep, :4])
-        score_delta = np.abs(d[keep, 4] - ref[keep, 4])
-        print(f"{impl} r={r}: box max {box_delta.max():.3f} px "
-              f"mean {box_delta.mean():.4f} px | score max "
-              f"{score_delta.max():.4f} mean {score_delta.mean():.5f}")
+        d, maps = decode_with(impl, r)
+        # raw-map deltas (decode-input level)
+        map_d = {
+            k: float(np.abs(maps[k] - ref_maps[k]).max()) for k in maps
+        }
+        # rank-free: match each ref top-k det to the nearest center in d
+        rc = (ref[:topk, :2] + ref[:topk, 2:4]) / 2.0
+        dc = (d[:, :2] + d[:, 2:4]) / 2.0
+        dist = np.linalg.norm(rc[:, None] - dc[None], axis=-1)
+        j = dist.argmin(axis=1)
+        box_delta = np.abs(d[j, :4] - ref[:topk, :4])
+        score_delta = np.abs(d[j, 4] - ref[:topk, 4])
+        print(f"{impl} r={r}: box max {box_delta.max():.4f} px mean "
+              f"{box_delta.mean():.5f} | score max {score_delta.max():.5f} "
+              f"| map deltas {map_d}")
 
 
 if __name__ == "__main__":

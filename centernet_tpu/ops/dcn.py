@@ -451,6 +451,15 @@ def banded_deform_conv(
         ox = off_k[..., 1]
         oxf = jnp.floor(ox)
         fx = (ox - oxf).astype(dt)
+        # y-bilinear in FLOOR form (one-hot corners + fractional part), NOT
+        # the tent relu(1-|oy-s|): the tent's subgradient at integer
+        # offsets is 0, so zero-initialized DCNv2 offsets would NEVER
+        # receive gradient through the y axis (the reference CUDA kernel's
+        # coordinate gradient is the forward difference there — floor form
+        # reproduces exactly that).  This is also why the round-1 stencil
+        # path silently froze offsets at their zero init during training.
+        oyf = jnp.floor(oy)
+        fy = oy - oyf
         # one-hot bilinear x-selection matrix [B, H, W, WH] (halo coords;
         # the zero padding supplies zero-outside-image semantics)
         x0 = px[None, None, :] + (kx + lo) + oxf.astype(jnp.int32)
@@ -471,7 +480,11 @@ def banded_deform_conv(
                 "bhwq,bhqc->bhwc", mx, xrows,
                 preferred_element_type=jnp.float32, precision=prec,
             )
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(oy - float(dy - r)))
+            s_rel = float(dy - r)
+            wy = (
+                jnp.where(oyf == s_rel, 1.0 - fy, 0.0)
+                + jnp.where(oyf == s_rel - 1.0, fy, 0.0)
+            )
             col = col + wy[..., None] * t_dy
         colm = (col * m_k[..., None]).astype(dt)
         term = jnp.einsum(

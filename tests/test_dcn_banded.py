@@ -54,6 +54,40 @@ def test_banded_grads_match_stencil_vjp():
         )
 
 
+def test_banded_offset_gradient_at_zero_init():
+    """DCNv2 offsets are ZERO-initialized; the op must propagate a nonzero
+    offset gradient there or offsets never learn.  The reference CUDA
+    kernel's coordinate gradient at integer sample points is the forward
+    difference of the feature map (dmcn_get_coordinate_weight); the
+    tent-form relu(1-|t-s|) stencil has subgradient 0 at integers and
+    silently froze offsets (round-1 flaw).  Gate: banded's gradient at
+    offsets == 0 is nonzero and matches a right-sided finite difference."""
+    rng = np.random.default_rng(3)
+    b, h, w, c, co = 1, 8, 8, 4, 4
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    off0 = jnp.zeros((b, h, w, 18), jnp.float32)
+    mask = jnp.asarray(rng.uniform(0.2, 1.0, (b, h, w, 9)), jnp.float32)
+    wgt = jnp.asarray(rng.standard_normal((9 * c, co)) * 0.1, jnp.float32)
+    bias = jnp.zeros(co, jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((b, h, w, co)), jnp.float32)
+
+    def f(off):
+        return jnp.sum(
+            banded_deform_conv(x, off, mask, wgt, bias, 3, 1, 1, 1, 4) * cot
+        )
+
+    g = np.array(jax.grad(f)(off0))
+    assert np.abs(g).max() > 1e-3, "offset gradient vanished at zero init"
+
+    # right-sided directional finite difference (positive direction matches
+    # the floor-form right-derivative at integer points)
+    u = jnp.asarray(rng.uniform(0.0, 1.0, off0.shape), jnp.float32)
+    eps = 1e-3
+    fd = (float(f(off0 + eps * u)) - float(f(off0))) / eps
+    analytic = float(jnp.sum(jnp.asarray(g) * u))
+    np.testing.assert_allclose(fd, analytic, rtol=5e-2)
+
+
 def test_banded_wide_feature_maps():
     """banded has no width restriction (unlike the Pallas kernel)."""
     rng = np.random.default_rng(2)
