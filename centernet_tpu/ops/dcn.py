@@ -20,7 +20,9 @@ orders of magnitude slower. The implementation hierarchy:
   autodiff (dense matmul transposes; no scatter), remat under training.
 * ``stencil_deform_conv`` — round-1 dense path: each tap's bilinear sample
   expanded over all (2r+2)^2 static integer shifts (HBM-bound shifted FMA
-  passes) with a custom dense VJP.
+  passes) with a custom dense VJP.  Historical/ablation only: its tent-form
+  weights have zero offset-gradient at integer offsets (zero init!) — see
+  the banded docstring.
 * ``dcn_v2`` / ``deform_sample`` — exact unbounded semantics: per tap, all
   four bilinear corners fetched with one ``lax.gather`` of [2, 2, Ci]
   blocks, scanned over taps; forward-only in practice (scatter backward).
@@ -200,6 +202,15 @@ def stencil_deform_conv(
     (reference allows unbounded displacement). Trained CenterNet offsets are
     overwhelmingly sub-3px; use CENTERNET_TPU_DCN_IMPL=gather for the exact
     unbounded path.
+
+    KNOWN GRADIENT FLAW (kept as round-1 historical path; do NOT train with
+    this op): the tent form relu(1-|t-s|) has subgradient 0 at INTEGER
+    offsets, and DCNv2 offsets are zero-initialized — so offsets never
+    receive gradient and DCN degenerates to a mask-modulated plain conv.
+    ``banded_deform_conv`` (the default) computes bilinear weights in floor
+    form whose autodiff matches the reference CUDA kernel's forward-
+    difference coordinate gradient; see BENCHMARKS.md "Offset-gradient
+    flaw".
     """
     b, h, w, ci = x.shape
     kk = kernel_size * kernel_size
