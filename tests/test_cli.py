@@ -150,3 +150,17 @@ def test_multi_pose_cli_end_to_end(tmp_path):
     )
     assert int(trainer.state.step) == 1
     assert os.path.isdir(tmp_path / "runs" / "checkpoints" / "last")
+
+    # the pose CLI must evaluate keypoints AND bbox from one prediction
+    # pass (reference centernet_multi_pose.py:300-321)
+    import json
+
+    metrics_path = (
+        tmp_path / "runs" / "tb_logs" / "multi_pose" / "metrics.jsonl"
+    )
+    logged = set()
+    with open(metrics_path) as f:
+        for line in f:
+            logged.update(json.loads(line).keys())
+    assert "test/kp_ap" in logged, sorted(logged)
+    assert "test/bbox_ap" in logged, sorted(logged)
