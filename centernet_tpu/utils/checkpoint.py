@@ -54,12 +54,20 @@ def restore_checkpoint(path: str, target, with_meta: bool = False):
         raise RuntimeError("orbax-checkpoint is unavailable")
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    abstract = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
-        if hasattr(x, "dtype")
-        else x,
-        target,
-    )
+
+    def _abstract(x):
+        # carry the TARGET's sharding so orbax re-shards on load — without
+        # it a checkpoint can only be restored on the topology that saved
+        # it (orbax falls back to the sharding file, which is topology-
+        # specific: an 8-device-saved ckpt then fails in a 1-device
+        # process, e.g. train-on-pod -> eval-on-single-chip)
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        if hasattr(x, "dtype"):
+            return jax.ShapeDtypeStruct(np.shape(x), x.dtype)
+        return x
+
+    abstract = jax.tree_util.tree_map(_abstract, target)
     state = ckptr.restore(path, abstract)
     if not with_meta:
         return state

@@ -91,3 +91,31 @@ def test_fit_resume_continues(tmp_path):
     assert len(mu1) == len(mu3)
     for a, b in zip(mu1, mu3):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_restore_across_topologies(tmp_path):
+    """A checkpoint saved under the 8-device mesh must restore into a
+    1-device state (train-on-pod -> eval-on-single-chip): the abstract
+    restore tree carries the TARGET's shardings so orbax re-shards."""
+    from centernet_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    task8 = CenterNetDetection("res_18")
+    tr8 = Trainer(task8, mesh=make_mesh())  # 8 virtual devices
+    state8 = tr8.init_state(input_hw=(SIZE, SIZE))
+    path = str(tmp_path / "ckpt8")
+    save_checkpoint(path, state8)
+
+    task1 = CenterNetDetection("res_18")
+    tr1 = Trainer(task1, mesh=make_mesh(n_data=1))  # single device
+    state1 = tr1.init_state(input_hw=(SIZE, SIZE))
+    restored = restore_checkpoint(path, state1)
+
+    import jax
+
+    a = jax.tree_util.tree_leaves(state8.params)
+    b = jax.tree_util.tree_leaves(restored.params)
+    for u, v in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+    # restored leaves live on the 1-device sharding
+    lead = jax.tree_util.tree_leaves(restored.params)[0]
+    assert len(lead.sharding.device_set) == 1
