@@ -101,3 +101,47 @@ def test_banded_wide_feature_maps():
     ref = np.array(stencil_deform_conv(x, off, mask, wgt, bias, 3, 1, 1, 1, 4))
     np.testing.assert_allclose(got, ref, atol=1e-5 * np.abs(ref).max(),
                                rtol=1e-5)
+
+
+def test_training_moves_dcn_offsets():
+    """System-level gate on the offset-gradient fix: a few optimizer steps
+    on a DCN model must move the (zero-initialized) offset-conv parameters
+    away from zero — round 1's tent-form gradients left them frozen."""
+    import jax
+
+    from centernet_tpu import CenterNetDetection
+    from centernet_tpu.data import (
+        CategoryIdToClass,
+        ComposeSample,
+        ImageAugmentation,
+        Identity,
+        Normalize,
+        PaddedAnnotationSample,
+    )
+    from centernet_tpu.data.loader import DataLoader
+    from centernet_tpu.parallel.mesh import make_mesh
+    from centernet_tpu.parallel.trainer import Trainer
+
+    from tests.utilities import CocoFakeDataset
+
+    task = CenterNetDetection("resdcn_18", learning_rate=1e-3)
+    pipe = ComposeSample(
+        [
+            ImageAugmentation(Identity(), Normalize(task.mean, task.std)),
+            CategoryIdToClass(task.valid_ids),
+            PaddedAnnotationSample(),
+        ]
+    )
+    ds = CocoFakeDataset(transforms=pipe, length=8, size=64)
+    loader = DataLoader(ds, batch_size=8, num_workers=0, shuffle=False)
+    trainer = Trainer(task, mesh=make_mesh(), max_epochs=3,
+                      limit_train_batches=1)
+    trainer.init_state(input_hw=(64, 64))
+    state = trainer.fit(loader)
+
+    moved = 0.0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]:
+        keys = [getattr(k, "key", "") for k in path]
+        if "conv_offset_mask" in keys:
+            moved = max(moved, float(np.abs(np.asarray(leaf)).max()))
+    assert moved > 1e-6, "DCN offset conv never moved from zero init"
