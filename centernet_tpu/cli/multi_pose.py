@@ -52,6 +52,10 @@ def build_pipelines(task, input_size: int = 512):
 
 
 def cli_main(argv=None):
+    # Multi-host init must precede ANY other JAX use (weight import, jit).
+    from ..parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()
     np.random.seed(5318008)
     T.seed(107734)
 

@@ -28,6 +28,10 @@ MULTI_SCALES = [0.5, 0.75, 1.0, 1.25, 1.5]  # reference centernet_test.py
 
 
 def cli_test(argv=None):
+    # Multi-host init must precede ANY other JAX use (weight import, jit).
+    from ..parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()
     parser = argparse.ArgumentParser("centernet_tpu test")
     parser.add_argument("task", choices=list(TASKS))
     parser.add_argument("image_root")
@@ -43,13 +47,37 @@ def cli_test(argv=None):
     from ..data.coco import CocoDetection
 
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
-    task_cls = TASKS[args.task]
-    task = task_cls(
-        args.arch,
+    tta = dict(
         test_scales=MULTI_SCALES if args.multi_scale else None,
         test_flip=args.flip,
         dtype=dtype,
     )
+    # Self-describing checkpoints: the .meta.json sidecar persists the task
+    # hyperparameters (arch, head config, ...), so eval does not depend on
+    # the user re-specifying --arch correctly (reference: Lightning
+    # load_from_checkpoint via save_hyperparameters, centernet_test.py:72-74).
+    meta_hp = None
+    if args.checkpoint:
+        from ..utils.checkpoint import load_checkpoint_hparams
+
+        meta_hp = load_checkpoint_hparams(args.checkpoint)
+    if meta_hp is not None:
+        from ..tasks import task_from_hparams
+
+        if meta_hp.get("arch") != args.arch:
+            print(
+                f"[cli_test] using arch {meta_hp.get('arch')!r} from "
+                f"checkpoint hparams (flag/default was {args.arch!r})"
+            )
+        task = task_from_hparams(meta_hp, **tta)
+        expected = TASKS[args.task].__name__
+        if meta_hp.get("task") != expected:
+            raise SystemExit(
+                f"checkpoint was saved by task {meta_hp.get('task')!r} but "
+                f"'{args.task}' was requested ({expected})"
+            )
+    else:
+        task = TASKS[args.task](args.arch, **tta)
 
     ann_file = (
         "instances_val2017.json"

@@ -839,6 +839,12 @@ class DCN(nn.Module):
                 radius,
             )
         if impl == "pallas":
+            if train:
+                raise ValueError(
+                    "CENTERNET_TPU_DCN_IMPL=pallas is forward-only (no "
+                    "autodiff rule for the Pallas kernel); use banded/"
+                    "stencil for training"
+                )
             from .dcn_pallas import pallas_deform_conv_fwd
 
             return pallas_deform_conv_fwd(

@@ -43,6 +43,18 @@ def maybe_init_distributed() -> bool:
         return True
     if os.environ.get("CENTERNET_TPU_DISTRIBUTED", "0") != "1":
         return False
+    # jax.distributed.initialize must run BEFORE the backend comes up; a
+    # prior jax.devices()/jit call would make multi-host init silently see
+    # only local devices. Fail loudly instead (call maybe_init_distributed()
+    # at CLI entry, which the cli/ modules do first thing).
+    from jax._src import xla_bridge as _xb
+
+    if getattr(_xb, "_backends", None):
+        raise RuntimeError(
+            "CENTERNET_TPU_DISTRIBUTED=1 but the JAX backend is already "
+            "initialized — call maybe_init_distributed() before any other "
+            "JAX use (jax.devices(), jit, weight import, ...)"
+        )
     kwargs = {}
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         kwargs["coordinator_address"] = os.environ["JAX_COORDINATOR_ADDRESS"]

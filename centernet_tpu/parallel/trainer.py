@@ -129,12 +129,16 @@ class CheckpointCallback:
             p for _, p in self._best[: self.save_top_k]
         ]:
             save_fn(path)
-        # prune beyond top-k
+        # prune beyond top-k (orbax dir + its meta sidecar)
         for _, stale in self._best[self.save_top_k :]:
             if os.path.isdir(stale):
                 import shutil
 
                 shutil.rmtree(stale, ignore_errors=True)
+            try:
+                os.remove(stale + ".meta.json")
+            except OSError:
+                pass
         self._best = self._best[: self.save_top_k]
 
 
@@ -229,7 +233,13 @@ class Trainer:
                 resume_from, self.state, with_meta=True
             )
             self.state = jax.device_put(state, replicated_sharding(self.mesh))
-            start_epoch = int(meta.get("epoch", -1)) + 1
+            if "epoch" in meta:
+                start_epoch = int(meta["epoch"]) + 1
+            else:
+                # No sidecar (pre-meta checkpoint): derive the epoch from the
+                # restored step counter rather than silently re-running every
+                # epoch against an already-advanced step/LR schedule.
+                start_epoch = int(state.step) // self.steps_per_epoch
         self._compile_steps()
 
         for epoch in range(start_epoch, self.max_epochs):
@@ -284,11 +294,16 @@ class Trainer:
             if self.checkpoint is not None:
                 from ..utils.checkpoint import save_checkpoint
 
+                # hparams ride the sidecar so eval can reconstruct the task
+                # from the checkpoint alone (Lightning save_hyperparameters,
+                # reference centernet_detection.py:86).
                 self.checkpoint.on_epoch_end(
                     epoch,
                     metrics,
                     lambda path: save_checkpoint(
-                        path, self.state, meta={"epoch": epoch}
+                        path,
+                        self.state,
+                        meta={"epoch": epoch, "hparams": self.task.hparams()},
                     ),
                 )
         return self.state

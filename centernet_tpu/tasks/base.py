@@ -100,6 +100,22 @@ class CenterNet:
             remat="hourglass" in arch,
         )
 
+    # -- hyperparameter persistence -------------------------------------------
+
+    def hparams(self) -> Dict[str, Any]:
+        """Everything needed to reconstruct this task from a checkpoint alone
+        — the Lightning ``save_hyperparameters`` equivalent (reference
+        centernet_detection.py:86, consumed by centernet_test.py:72-74).
+        Subclasses extend with their task-specific arguments; eval-time
+        options (TTA scales/flip, dtype) are intentionally NOT persisted —
+        they are load-time choices."""
+        return {
+            "task": type(self).__name__,
+            "arch": self.arch,
+            "learning_rate": self.learning_rate,
+            "learning_rate_milestones": self.learning_rate_milestones,
+        }
+
     # -- model plumbing ------------------------------------------------------
 
     def init_variables(self, rng, input_hw: Tuple[int, int] = (512, 512)):

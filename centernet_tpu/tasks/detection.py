@@ -80,6 +80,17 @@ class CenterNetDetection(CenterNet):
         self.test_max_per_image = test_max_per_image
         self.decode_k = decode_k
 
+    def hparams(self):
+        hp = super().hparams()
+        hp.update(
+            hm_weight=self.hm_weight,
+            wh_weight=self.wh_weight,
+            off_weight=self.off_weight,
+            num_classes=self.num_classes,
+            decode_k=self.decode_k,
+        )
+        return hp
+
     # -- loss (pure) -----------------------------------------------------------
 
     def encode_targets(self, input_hw, target):

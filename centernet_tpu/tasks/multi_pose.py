@@ -76,6 +76,19 @@ class CenterNetMultiPose(CenterNet):
         self.test_max_per_image = test_max_per_image
         self.decode_k = decode_k
 
+    def hparams(self):
+        hp = super().hparams()
+        hp.update(
+            hm_weight=self.hm_weight,
+            wh_weight=self.wh_weight,
+            off_weight=self.off_weight,
+            hp_weight=self.hp_weight,
+            hm_hp_weight=self.hm_hp_weight,
+            num_joints=self.num_joints,
+            decode_k=self.decode_k,
+        )
+        return hp
+
     def encode_targets(self, input_hw, target):
         """Batched on-device pose target encoding: union of the 1-class
         detection targets and the keypoint targets (the reference fans out to

@@ -80,6 +80,20 @@ def restore_checkpoint(path: str, target, with_meta: bool = False):
     return state, meta
 
 
+def load_checkpoint_hparams(path: str) -> Optional[Dict[str, Any]]:
+    """Read the task hyperparameters persisted in a checkpoint's
+    ``.meta.json`` sidecar (written by ``Trainer.fit``'s checkpoint callback).
+    Returns None for checkpoints without hparams (pre-sidecar saves)."""
+    sidecar = os.path.abspath(path) + ".meta.json"
+    if not os.path.exists(sidecar):
+        return None
+    import json
+
+    with open(sidecar) as f:
+        meta = json.load(f)
+    return meta.get("hparams")
+
+
 # ---------------------------------------------------------------------------
 # Legacy torch-weight import
 # ---------------------------------------------------------------------------
