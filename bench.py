@@ -31,10 +31,30 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# persistent compile cache: dla_34 graphs take minutes to build remotely
+# persistent compile cache: dla_34 graphs take minutes to build remotely.
+# Keyed on host CPU flags — XLA:CPU AOT artifacts from a different machine
+# SIGILL on load (TPU executables are unaffected but share the dir).
+
+
+def _host_cache_suffix():
+    try:
+        import hashlib
+
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "generic"
+
+
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/centernet_tpu_jax_cache"),
+    os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        f"/tmp/centernet_tpu_jax_cache_{_host_cache_suffix()}",
+    ),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
@@ -44,6 +64,50 @@ TARGET = 2.0 * BASELINE_A100_IMG_S
 B_SMALL, B_LARGE = 4, 16
 SIZE = 512
 K = 100
+
+
+def bench_train(task, variables) -> float:
+    """dla_34 train-step img/s/chip (fwd+bwd+Adam, on-device target encode),
+    same batch-differencing methodology as inference. Machine-recorded here
+    so BENCH_r*.json catches train regressions round over round."""
+    import optax  # noqa: F401  (optax pulled in by configure_optimizer)
+
+    from centernet_tpu.parallel.trainer import TrainState, make_train_step
+
+    tx = task.configure_optimizer(1)
+    state = TrainState.create(variables, tx)
+    step = jax.jit(make_train_step(task, tx), donate_argnums=(0,))
+    rng = np.random.default_rng(0)
+
+    def make_batch(b):
+        n = 128
+        boxes = np.zeros((b, n, 4), np.float32)
+        boxes[:, :8] = rng.uniform(10, 200, (b, 8, 4))
+        target = {
+            "boxes": boxes,
+            "classes": rng.integers(0, 80, (b, n)).astype(np.int32),
+            "keypoints_raw": np.zeros((b, n, 17, 3), np.float32),
+            "valid": (np.arange(n) < 8)[None].repeat(b, 0),
+        }
+        img = rng.standard_normal((b, SIZE, SIZE, 3)).astype(np.float32)
+        return jnp.asarray(img), {k: jnp.asarray(v) for k, v in target.items()}
+
+    def timed(b, reps=4):
+        batch = make_batch(b)
+        st = jax.tree_util.tree_map(jnp.copy, state)
+        st, stats = step(st, batch)  # compile + warm
+        np.asarray(stats["loss"])
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            st, stats = step(st, batch)
+            np.asarray(stats["loss"])  # scalar fetch = sync
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1 = timed(4)
+    t2 = timed(8)
+    return (8 - 4) / (t2 - t1)
 
 
 def main():
@@ -81,6 +145,16 @@ def main():
     per_img = (t_large - t_small) / (B_LARGE - B_SMALL)
     img_per_sec = 1.0 / per_img
 
+    # training throughput rides the same JSON line as extra fields so the
+    # driver-recorded BENCH_r*.json machine-checks train regressions too
+    try:
+        train_img_s = round(bench_train(task, variables), 2)
+    except Exception as e:  # never lose the headline metric
+        import sys
+
+        print(f"train bench failed: {e!r}", file=sys.stderr)
+        train_img_s = None
+
     print(
         json.dumps(
             {
@@ -88,6 +162,8 @@ def main():
                 "value": round(img_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(img_per_sec / TARGET, 3),
+                "train_metric": "dla34_train_step_images_per_sec_per_chip",
+                "train_value": train_img_s,
             }
         )
     )

@@ -41,7 +41,19 @@ class DataLoader:
         collate_fn: Callable = default_collate,
         seed: int = 0,
         prefetch: int = 2,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
+        """``batch_size`` is the GLOBAL batch. Under multi-controller JAX
+        (one process per host) each process loads only its contiguous
+        ``batch_size / process_count`` slice of every global batch — the
+        per-rank sharded loading Lightning's DDP sampler provides the
+        reference for free (centernet_detection.py:363-375). All processes
+        derive the identical epoch permutation from the shared ``seed``, so
+        the union of the slices is exactly the global batch.
+
+        ``process_index`` / ``process_count`` default to the JAX runtime's
+        view; pass explicitly to fake a process for testing."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -50,6 +62,24 @@ class DataLoader:
         self.collate_fn = collate_fn
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
+        if process_count is None:
+            import jax
+
+            process_count = jax.process_count()
+            process_index = jax.process_index()
+        self.process_index = int(process_index or 0)
+        self.process_count = int(process_count)
+        if self.process_count > 1:
+            if batch_size % self.process_count:
+                raise ValueError(
+                    f"global batch_size {batch_size} must divide by "
+                    f"process_count {self.process_count}"
+                )
+            if not drop_last:
+                raise ValueError(
+                    "multi-process loading requires drop_last=True (a "
+                    "partial global batch cannot be evenly process-sharded)"
+                )
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -62,8 +92,14 @@ class DataLoader:
         if self.shuffle:
             self.rng.shuffle(order)
         nb = len(self)
+        per = self.batch_size // self.process_count
+        lo = self.process_index * per
         for b in range(nb):
-            yield order[b * self.batch_size : (b + 1) * self.batch_size]
+            g = order[b * self.batch_size : (b + 1) * self.batch_size]
+            # this process's contiguous slice of the global batch — rows
+            # [pi*per, (pi+1)*per) map onto the process's addressable mesh
+            # devices (make_mesh orders devices process-major)
+            yield g[lo : lo + per] if self.process_count > 1 else g
 
     def __iter__(self) -> Iterator:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

@@ -67,7 +67,9 @@ class Root(nn.Module):
     def __call__(self, children: Sequence[jnp.ndarray], train: bool = False):
         x = jnp.concatenate(children, axis=-1)
         x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM)(
+            x
+        ).astype(self.dtype)
         if self.residual:
             x = x + children[0]
         return nn.relu(x)
@@ -113,7 +115,7 @@ class Tree(nn.Module):
             proj = nn.BatchNorm(
                 use_running_average=not train, momentum=BN_MOMENTUM,
                 name="project_bn",
-            )(proj)
+            )(proj).astype(self.dtype)
         else:
             proj = bottom
         if residual is None:

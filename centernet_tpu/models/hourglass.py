@@ -44,7 +44,9 @@ class HgConv(nn.Module):
             dtype=self.dtype,
         )(x)
         if self.with_bn:
-            x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM)(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=BN_MOMENTUM
+            )(x).astype(self.dtype)
         return nn.relu(x)
 
 
@@ -61,13 +63,17 @@ class HgResidual(nn.Module):
             self.features, (3, 3), (self.strides, self.strides),
             padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
         )(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM)(
+            y
+        ).astype(self.dtype)
         y = nn.relu(y)
         y = nn.Conv(
             self.features, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
             dtype=self.dtype,
         )(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM)(
+            y
+        ).astype(self.dtype)
         if self.strides != 1 or x.shape[-1] != self.features:
             skip = nn.Conv(
                 self.features, (1, 1), (self.strides, self.strides),
@@ -75,7 +81,7 @@ class HgResidual(nn.Module):
             )(x)
             skip = nn.BatchNorm(
                 use_running_average=not train, momentum=BN_MOMENTUM
-            )(skip)
+            )(skip).astype(self.dtype)
         else:
             skip = x
         return nn.relu(y + skip)
@@ -173,7 +179,7 @@ class HourglassNet(nn.Module):
                 a = nn.BatchNorm(
                     use_running_average=not train, momentum=BN_MOMENTUM,
                     name=f"inter__bn_{ind}",
-                )(a)
+                )(a).astype(self.dtype)
                 b = nn.Conv(
                     curr_dim, (1, 1), use_bias=False, dtype=self.dtype,
                     name=f"cnv__conv_{ind}",
@@ -181,7 +187,7 @@ class HourglassNet(nn.Module):
                 b = nn.BatchNorm(
                     use_running_average=not train, momentum=BN_MOMENTUM,
                     name=f"cnv__bn_{ind}",
-                )(b)
+                )(b).astype(self.dtype)
                 inter = nn.relu(a + b)
                 inter = HgResidual(
                     curr_dim, dtype=self.dtype, name=f"inters_{ind}"

@@ -50,7 +50,11 @@ class ConvBNAct(nn.Module):
         )(x)
         if self.act:
             x = nn.relu(x)
-        return x
+        # BN statistics/affine stay f32; activations return to the compute
+        # dtype. Without this every BN upcasts the whole network to f32
+        # (flax promotes with the f32 scale/bias), doubling HBM traffic and
+        # silently de-optimizing the bf16 DCN/conv paths in-model.
+        return x.astype(self.dtype)
 
 
 def bilinear_upsample_kernel(kernel_size: int) -> jnp.ndarray:
@@ -103,6 +107,7 @@ class BilinearConvTranspose(nn.Module):
         )
         if not self.trainable:
             kernel = jax.lax.stop_gradient(kernel)
+        kernel = kernel.astype(x.dtype)  # lax.conv needs matching dtypes
         # Transpose conv == lhs-dilated conv with flipped kernel; bilinear
         # kernels are symmetric so no flip is needed.
         y = jax.lax.conv_general_dilated(
@@ -153,6 +158,7 @@ class ConvTranspose2x(nn.Module):
             kern_init = nn.initializers.normal(0.001)
 
         kernel = self.param("kernel", kern_init, (k, k, in_ch, self.features))
+        kernel = kernel.astype(x.dtype)  # lax.conv needs matching dtypes
         y = jax.lax.conv_general_dilated(
             x,
             kernel,
@@ -163,7 +169,7 @@ class ConvTranspose2x(nn.Module):
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -174,6 +180,7 @@ class ConvTransposeBNAct(nn.Module):
     features: int
     kernel_size: int = 4
     bilinear_init: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -185,7 +192,7 @@ class ConvTransposeBNAct(nn.Module):
         y = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, dtype=jnp.float32
         )(y)
-        return nn.relu(y)
+        return nn.relu(y).astype(self.dtype)
 
 
 def upsample_nearest_2x(x):

@@ -31,13 +31,19 @@ class BasicBlock(nn.Module):
             self.planes, (3, 3), (self.strides, self.strides),
             padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
         )(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM)(y)
+        # all BN outputs return to the compute dtype (stats/affine stay f32;
+        # flax would otherwise promote every activation to f32)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM)(
+            y
+        ).astype(self.dtype)
         y = nn.relu(y)
         y = nn.Conv(
             self.planes, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
             dtype=self.dtype,
         )(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM)(
+            y
+        ).astype(self.dtype)
         if self.downsample:
             residual = nn.Conv(
                 self.planes * self.expansion, (1, 1),
@@ -45,7 +51,7 @@ class BasicBlock(nn.Module):
             )(x)
             residual = nn.BatchNorm(
                 use_running_average=not train, momentum=BN_MOMENTUM
-            )(residual)
+            )(residual).astype(self.dtype)
         return nn.relu(y + residual)
 
 
@@ -60,18 +66,24 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool = False):
         residual = x
         y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype)(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM)(
+            y
+        ).astype(self.dtype)
         y = nn.relu(y)
         y = nn.Conv(
             self.planes, (3, 3), (self.strides, self.strides),
             padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
         )(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM)(
+            y
+        ).astype(self.dtype)
         y = nn.relu(y)
         y = nn.Conv(
             self.planes * self.expansion, (1, 1), use_bias=False, dtype=self.dtype
         )(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM)(
+            y
+        ).astype(self.dtype)
         if self.downsample:
             residual = nn.Conv(
                 self.planes * self.expansion, (1, 1),
@@ -79,7 +91,7 @@ class Bottleneck(nn.Module):
             )(x)
             residual = nn.BatchNorm(
                 use_running_average=not train, momentum=BN_MOMENTUM
-            )(residual)
+            )(residual).astype(self.dtype)
         return nn.relu(y + residual)
 
 
@@ -107,7 +119,7 @@ class ResNetStages(nn.Module):
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, name="bn1"
-        )(x)
+        )(x).astype(self.dtype)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
 
@@ -143,5 +155,7 @@ class PoseResNet(nn.Module):
         block, layers = RESNET_SPEC[self.num_layers]
         x = ResNetStages(block, layers, dtype=self.dtype, name="resnet")(x, train)
         for i, planes in enumerate([256, 256, 256]):
-            x = ConvTransposeBNAct(planes, name=f"deconv{i}")(x, train)
+            x = ConvTransposeBNAct(
+                planes, dtype=self.dtype, name=f"deconv{i}"
+            )(x, train)
         return [x.astype(jnp.float32)]

@@ -34,12 +34,12 @@ class PoseResNetDCN(nn.Module):
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=BN_MOMENTUM,
                 name=f"dcn_bn{i}",
-            )(x)
+            )(x).astype(self.dtype)
             x = nn.relu(x)
             x = ConvTranspose2x(planes, bilinear_init=True, name=f"up{i}")(x)
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=BN_MOMENTUM,
                 name=f"up_bn{i}",
-            )(x)
+            )(x).astype(self.dtype)
             x = nn.relu(x)
         return [x.astype(jnp.float32)]

@@ -430,7 +430,9 @@ def banded_deform_conv(
     dt = x.dtype
 
     xpad = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
-    w_taps = weight.reshape(kk, ci, co)
+    # weights ride the MXU in the compute dtype (a stray f32 weight would
+    # promote the whole tap matmul back to f32)
+    w_taps = weight.reshape(kk, ci, co).astype(dt)
     # f32 inputs demand true-f32 matmuls (TPU dots default to bf16 passes);
     # bf16 production inputs keep the fast default.
     prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
@@ -708,7 +710,7 @@ def dcn_v2(
     py, px = _tap_positions(
         b, (ho, wo), offsets, kernel_size, stride, padding, dilation
     )
-    w_taps = weight.reshape(kk, ci, co)
+    w_taps = weight.reshape(kk, ci, co).astype(x.dtype)
     mask_t = jnp.moveaxis(mask, 3, 0)  # [KK, B, Ho, Wo]
 
     def step(acc, xs):
@@ -764,11 +766,22 @@ class DCN(nn.Module):
         # benchmarks/bench_dcn_skew.py).
         impl = os.environ.get("CENTERNET_TPU_DCN_IMPL", "auto")
         if impl == "auto":
-            if train or x.shape[2] >= 96:
+            # Per-scale shootout (r=2, bf16, v5e, round 3): 128^2 C64
+            # banded 1.34 / gather 2.74; 64^2 C128 gather 0.344 / banded
+            # 0.863; 32^2 C256 banded 0.356 / gather 0.592 — gather's
+            # index-rate cost only wins in the middle band. Training always
+            # uses banded (gather's backward is a TPU scatter-add).
+            if train or x.shape[2] >= 96 or x.shape[2] <= 32:
                 impl = "banded"
             else:
                 impl = "gather"
         radius = int(os.environ.get("CENTERNET_TPU_DCN_RADIUS", "4"))
+        # The surrounding BN/ReLU layers run their affine math in f32; make
+        # sure the deformable sampling + its matmuls run in the model's
+        # compute dtype (a silent f32 input makes every selection einsum a
+        # multi-pass HIGHEST-precision contraction AND doubles the one-hot
+        # HBM traffic — measured as the round-2 "in-model 2x" overhead).
+        x = x.astype(self.dtype)
         conv_offset = nn.Conv(
             3 * kk,
             (self.kernel_size, self.kernel_size),
@@ -777,12 +790,32 @@ class DCN(nn.Module):
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
             use_bias=True,
+            dtype=self.dtype,
             name="conv_offset_mask",
         )(x)
         o1, o2, m = jnp.split(conv_offset, [kk, 2 * kk], axis=-1)
-        # DCNv2 layout: o1 = dy per tap, o2 = dx per tap
-        offsets = jnp.stack([o1, o2], axis=-1).reshape(*o1.shape[:-1], 2 * kk)
-        mask = jax.nn.sigmoid(m)
+        # DCNv2 layout: o1 = dy per tap, o2 = dx per tap. Offsets/mask are
+        # small [.., 3*KK] tensors: keep the position math in f32 (floor /
+        # one-hot comparisons) — the heavy tensors downstream are cast to
+        # the compute dtype inside the kernels.
+        offsets = (
+            jnp.stack([o1, o2], axis=-1)
+            .reshape(*o1.shape[:-1], 2 * kk)
+            .astype(jnp.float32)
+        )
+        # Clamp ONCE at the module level so train and eval see identical
+        # semantics regardless of which impl runs. Round-3 finding: the
+        # "auto" choice trains with the clamped banded kernel but evaluated
+        # small maps with the unbounded gather — offsets learned beyond
+        # +-radius then sampled entirely different taps at eval (measured:
+        # train-mode heatmap peaks 0.44 vs near-flat 0.03 eval heatmaps on
+        # an overfit resdcn_18). Divergence vs reference DCNv2 (unbounded,
+        # pose_dla_dcn.py:441-449) is quantified in benchmarks/
+        # bench_dcn_skew.py: decoded boxes identical to 1e-4 px at r=4.
+        # Set CENTERNET_TPU_DCN_RADIUS high to approximate unbounded (the
+        # gather impl stays exact for any radius).
+        offsets = jnp.clip(offsets, -float(radius), float(radius))
+        mask = jax.nn.sigmoid(m.astype(jnp.float32))
 
         ci = x.shape[-1]
         weight = self.param(
@@ -897,5 +930,5 @@ class DeformConvBNAct(nn.Module):
         x = DCN(self.features, dtype=self.dtype, name="conv")(x, train)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM
-        )(x)
+        )(x).astype(self.dtype)
         return nn.relu(x)

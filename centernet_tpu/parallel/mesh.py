@@ -83,6 +83,11 @@ def make_mesh(
     """
     maybe_init_distributed()
     devices = list(devices if devices is not None else jax.devices())
+    # Process-major device order: batch row block [pi*per, (pi+1)*per) of a
+    # `data`-sharded array must land on process pi's chips, matching the
+    # DataLoader's per-process index slice and
+    # jax.make_array_from_process_local_data in Trainer._put_batch.
+    devices.sort(key=lambda d: (d.process_index, d.id))
     if n_data is None:
         n_data = len(devices) // n_model
     dev_array = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)

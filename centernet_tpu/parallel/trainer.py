@@ -208,8 +208,24 @@ class Trainer:
     def _put_batch(self, batch):
         sharding = batch_sharding(self.mesh)
 
-        def put(x):
-            return jax.device_put(jnp.asarray(x), sharding)
+        if jax.process_count() > 1:
+            # Multi-controller: each host holds only its slice of the global
+            # batch (DataLoader process-shards the index order); assemble the
+            # global jax.Array from per-process shards. A plain device_put of
+            # host-local data onto a global sharding is invalid here.
+            def put(x):
+                x = np.asarray(x)
+                global_shape = (
+                    x.shape[0] * jax.process_count(),
+                ) + x.shape[1:]
+                return jax.make_array_from_process_local_data(
+                    sharding, x, global_shape
+                )
+
+        else:
+
+            def put(x):
+                return jax.device_put(jnp.asarray(x), sharding)
 
         img, target = batch
         return put(img), jax.tree_util.tree_map(put, target)

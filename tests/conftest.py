@@ -21,8 +21,29 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the suite is compile-dominated on CPU (the
 # dla_34 train/TTA graphs alone cost ~5 min); cache compiled executables
 # across test processes/runs (VERDICT round-1 wall-clock item).
+#
+# The cache dir is keyed on the host's CPU feature flags: XLA:CPU AOT
+# artifacts encode the COMPILE machine's ISA features, and loading an
+# artifact compiled on a different machine SIGILL/aborts the process
+# (observed: cross-machine /tmp cache reuse crashed the suite mid-run).
+
+
+def _host_cache_suffix():
+    try:
+        import hashlib
+
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "generic"
+
+
 _cache_dir = os.environ.get(
-    "CENTERNET_TPU_TEST_CACHE", "/tmp/centernet_tpu_jax_cache"
+    "CENTERNET_TPU_TEST_CACHE",
+    f"/tmp/centernet_tpu_jax_cache_{_host_cache_suffix()}",
 )
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)

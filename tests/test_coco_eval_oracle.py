@@ -122,6 +122,98 @@ def test_evaluator_matches_pycocotools_oracle(iou_type):
     assert checked >= N_DATASETS * 0.7
 
 
+def _make_stress_dataset(rng, iou_type):
+    """Regimes the base generator never reaches (VERDICT round-2 weak #4):
+    >maxDets detections per (img, cat) (truncation at 100 bbox / 20 kp),
+    degenerate zero-area GTs and detections, larger multi-image datasets,
+    and near-duplicate scores clustered at the recall-threshold boundaries.
+    """
+    n_imgs = int(rng.integers(6, 13))
+    n_cats = 1 if iou_type == "keypoints" else int(rng.integers(1, 3))
+    cats = [
+        {"id": c + 1, "name": f"c{c}",
+         **({"keypoints": ["k"] * 17} if iou_type == "keypoints" else {})}
+        for c in range(n_cats)
+    ]
+    images = [{"id": i + 1, "width": 2048, "height": 2048}
+              for i in range(n_imgs)]
+    anns, results = [], []
+    ann_id = 1
+    # scores drawn from tight clusters so sorting ties straddle the 101
+    # recall thresholds
+    score_grid = np.concatenate([
+        np.round(rng.uniform(0.1, 1.0, 5), 2),
+        np.array([0.5, 0.5 + 1e-7, 0.5 - 1e-7]),
+    ])
+    for img in images:
+        for cat in cats:
+            n_gt = int(rng.integers(0, 8))
+            for g in range(n_gt):
+                box = _rand_box(rng)
+                if rng.random() < 0.1:  # degenerate GT: zero width/height
+                    box[int(2 + rng.integers(0, 2))] = 0.0
+                anns.append({
+                    "id": ann_id, "image_id": img["id"],
+                    "category_id": cat["id"], "bbox": box,
+                    "iscrowd": int(rng.random() < 0.1),
+                    "area": box[2] * box[3],
+                    **({"keypoints": _rand_kps(rng, box, 0.8),
+                        "num_keypoints": 10}
+                       if iou_type == "keypoints" else {}),
+                })
+                ann_id += 1
+            # detection count deliberately beyond maxDets (100 bbox / 20 kp)
+            n_det = int(rng.choice(
+                [0, 3, 25, 30, 110, 140] if iou_type == "bbox"
+                else [0, 3, 22, 25, 40]
+            ))
+            gts_here = [a for a in anns
+                        if a["image_id"] == img["id"]
+                        and a["category_id"] == cat["id"]]
+            for _ in range(n_det):
+                if gts_here and rng.random() < 0.5:
+                    src = gts_here[int(rng.integers(0, len(gts_here)))]
+                    box = [v + float(rng.normal(0, 4)) for v in src["bbox"]]
+                else:
+                    box = _rand_box(rng)
+                box[2] = max(box[2], 0.0)
+                box[3] = max(box[3], 0.0)
+                if rng.random() < 0.05:  # degenerate detection
+                    box[2] = 0.0
+                det = {
+                    "image_id": img["id"], "category_id": cat["id"],
+                    "bbox": box,
+                    "score": float(rng.choice(score_grid)),
+                }
+                if iou_type == "keypoints":
+                    det["keypoints"] = _rand_kps(rng, box, 1.0)
+                results.append(det)
+    gt = {"images": images, "annotations": anns, "categories": cats}
+    return gt, results
+
+
+@pytest.mark.parametrize("iou_type", ["bbox", "keypoints"])
+def test_evaluator_matches_oracle_stress(iou_type):
+    """maxDets truncation, zero-area boxes, score-tie boundaries, bigger
+    datasets — agreement to 1e-9 with the pycocotools-faithful oracle."""
+    rng = np.random.default_rng(20260817)
+    n = 45 if iou_type == "bbox" else 40
+    checked = 0
+    for i in range(n):
+        gt, results = _make_stress_dataset(rng, iou_type)
+        if not gt["annotations"]:
+            continue
+        ours = CocoEvaluator(gt, iou_type)(results)
+        oracle = OracleCocoEval(gt, iou_type).evaluate(results).stats()
+        for s in STATS:
+            assert ours[s] == pytest.approx(oracle[s], abs=1e-9), (
+                f"stress dataset {i} ({iou_type}): {s} ours={ours[s]} "
+                f"oracle={oracle[s]}"
+            )
+        checked += 1
+    assert checked >= n * 0.9
+
+
 def _person_cat():
     return [{"id": 1, "name": "person", "keypoints": ["k"] * 17}]
 
