@@ -37,6 +37,12 @@ def add_data_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--num_workers", type=int, default=8)
     parser.add_argument(
+        "--worker_mode", default="thread", choices=["thread", "process"],
+        help="loader workers: threads (GIL-serial write-backs cap one host "
+        "at ~170 samples/s) or forked worker processes (the reference's "
+        "num_workers=8 process workers)",
+    )
+    parser.add_argument(
         "--pretrained_weights_path",
         default=None,
         help="legacy full-CenterNet torch checkpoint to import",

@@ -96,12 +96,14 @@ def cli_main(argv=None):
         num_workers=args.num_workers,
         shuffle=True,
         seed=5318008,
+        worker_mode=args.worker_mode,
     )
     val_loader = DataLoader(
         coco_val,
         batch_size=args.batch_size,
         num_workers=args.num_workers,
         shuffle=False,
+        worker_mode=args.worker_mode,
     )
 
     mesh = make_mesh(n_data=args.num_devices)

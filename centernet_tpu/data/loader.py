@@ -1,11 +1,19 @@
 """Host input pipeline: multi-worker prefetching loader.
 
 Replaces torch ``DataLoader(num_workers=8, pin_memory=True)`` (reference:
-centernet_detection.py:363-375). Samples are produced by a thread pool (the
-heavy per-sample work — cv2 warp + jitted CPU target encoding — releases the
-GIL), batched into fixed-shape numpy arrays, and handed to the trainer which
+centernet_detection.py:363-375). Samples are produced by a worker pool,
+batched into fixed-shape numpy arrays, and handed to the trainer which
 device-puts them with a `data`-axis sharding. A small prefetch queue keeps
 the TPU fed while the host prepares the next batch.
+
+Worker modes:
+* ``thread`` (default) — cv2's warp/blur release the GIL, but the
+  annotation write-backs/padding/collate do not; measured GIL-serial
+  remainder ~6 ms/sample caps one host at ~170 samples/s regardless of
+  cores (benchmarks/bench_input_pipeline.py).
+* ``process`` — a forked worker-process pool (the reference's
+  ``num_workers=8`` worker processes): sidesteps the GIL entirely; each
+  worker must not touch JAX (the transform stack is cv2/numpy-only).
 """
 
 from __future__ import annotations
@@ -16,6 +24,23 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Dict, Iterator, Optional, Sequence
 
 import numpy as np
+
+_WORKER_DATASET = None
+
+
+def _worker_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+    try:  # cv2's internal thread pool misbehaves across fork
+        import cv2
+
+        cv2.setNumThreads(0)
+    except ImportError:
+        pass
+
+
+def _worker_get(i):
+    return _WORKER_DATASET[i]
 
 
 def default_collate(samples):
@@ -43,6 +68,7 @@ class DataLoader:
         prefetch: int = 2,
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
+        worker_mode: str = "thread",
     ):
         """``batch_size`` is the GLOBAL batch. Under multi-controller JAX
         (one process per host) each process loads only its contiguous
@@ -62,6 +88,9 @@ class DataLoader:
         self.collate_fn = collate_fn
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(f"unknown worker_mode {worker_mode!r}")
+        self.worker_mode = worker_mode
         if process_count is None:
             import jax
 
@@ -101,17 +130,46 @@ class DataLoader:
             # devices (make_mesh orders devices process-major)
             yield g[lo : lo + per] if self.process_count > 1 else g
 
+    def _get_pool(self):
+        """Worker pool, created once and reused across epochs (forking a
+        process pool per epoch multiplies the fork-after-JAX-init risk)."""
+        pool = getattr(self, "_pool", None)
+        if pool is not None:
+            return pool
+        if self.worker_mode == "process":
+            import multiprocessing as mp
+
+            ctx = mp.get_context("fork")
+            self._pool = ctx.Pool(
+                self.num_workers,
+                initializer=_worker_init,
+                initargs=(self.dataset,),
+            )
+        else:
+            self._pool = ThreadPoolExecutor(self.num_workers)
+        return self._pool
+
+    def __del__(self):
+        pool = getattr(self, "_pool", None)
+        if pool is not None and self.worker_mode == "process":
+            pool.terminate()
+
     def __iter__(self) -> Iterator:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for idxs in self._batches():
-                    if stop.is_set():
-                        break
-                    samples = list(pool.map(self.dataset.__getitem__, idxs))
-                    q.put(self.collate_fn(samples))
+            pool = self._get_pool()
+            get = (
+                _worker_get
+                if self.worker_mode == "process"
+                else self.dataset.__getitem__
+            )
+            for idxs in self._batches():
+                if stop.is_set():
+                    break
+                samples = list(pool.map(get, [int(i) for i in idxs]))
+                q.put(self.collate_fn(samples))
             q.put(None)
 
         thread = threading.Thread(target=produce, daemon=True)

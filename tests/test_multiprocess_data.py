@@ -95,6 +95,23 @@ def test_make_array_from_process_local_data_single_process():
     assert via_mp.sharding.is_equivalent_to(via_put.sharding, x.ndim)
 
 
+def test_process_worker_mode():
+    """Forked worker-process pool produces identical batches to the thread
+    pool (the reference's num_workers=8 worker processes)."""
+    ds = IntDataset(16)
+    a = [t["idx"] for _, t in DataLoader(
+        ds, batch_size=8, num_workers=2, worker_mode="thread",
+        process_index=0, process_count=1,
+    )]
+    b = [t["idx"] for _, t in DataLoader(
+        ds, batch_size=8, num_workers=2, worker_mode="process",
+        process_index=0, process_count=1,
+    )]
+    assert len(a) == len(b) == 2
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_mesh_device_order_process_major():
     mesh = make_mesh()
     devs = list(mesh.devices.flat)
