@@ -127,21 +127,33 @@ def main():
             k=K,
         )
 
-    def fetch_time(batch, n=6):
-        images = jnp.asarray(
-            np.random.rand(batch, SIZE, SIZE, 3).astype(np.float32)
-        )
-        # warm up compile + execution; the scalar fetch forces completion
-        _ = np.asarray(forward_decode(variables, images)[0, 0, 0])
-        times = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            _ = np.asarray(forward_decode(variables, images)[0, 0, 0])
-            times.append(time.perf_counter() - t0)
-        return min(times)
+    imgs_small = jnp.asarray(
+        np.random.rand(B_SMALL, SIZE, SIZE, 3).astype(np.float32)
+    )
+    imgs_large = jnp.asarray(
+        np.random.rand(B_LARGE, SIZE, SIZE, 3).astype(np.float32)
+    )
 
-    t_small = fetch_time(B_SMALL)
-    t_large = fetch_time(B_LARGE)
+    def one(images):
+        t0 = time.perf_counter()
+        _ = np.asarray(forward_decode(variables, images)[0, 0, 0])
+        return time.perf_counter() - t0
+
+    # warm up compile + execution; the scalar fetch forces completion
+    one(imgs_small)
+    one(imgs_large)
+    # INTERLEAVED reps: host-side contention drifts over seconds, and a
+    # one-sided slowdown of only the small-batch (or only the large-batch)
+    # measurements biases the differenced rate in either direction
+    # (observed: 62-254 img/s scatter when CPU jobs ran concurrently).
+    # Alternating small/large keeps any drift common-mode; min-of-reps then
+    # cancels in the difference.
+    t_smalls, t_larges = [], []
+    for _ in range(8):
+        t_smalls.append(one(imgs_small))
+        t_larges.append(one(imgs_large))
+    t_small = min(t_smalls)
+    t_large = min(t_larges)
     per_img = (t_large - t_small) / (B_LARGE - B_SMALL)
     img_per_sec = 1.0 / per_img
 

@@ -76,6 +76,7 @@ def main():
         variables, img_j, False, capture_intermediates=True
     )
     offs_list = []
+    offs_by_scale = {}
 
     def walk(node):
         if isinstance(node, dict):
@@ -83,9 +84,9 @@ def main():
                 if k == "conv_offset_mask":
                     out = v["__call__"][0]
                     kk9 = out.shape[-1] // 3
-                    offs_list.append(
-                        np.asarray(out[..., : 2 * kk9], np.float32).ravel()
-                    )
+                    arr = np.asarray(out[..., : 2 * kk9], np.float32).ravel()
+                    offs_list.append(arr)
+                    offs_by_scale.setdefault(out.shape[1], []).append(arr)
                 else:
                     walk(v)
 
@@ -98,14 +99,25 @@ def main():
     for r in (1, 2, 3, 4):
         frac = float((np.abs(offs) > r).mean())
         print(f"  fraction |off| > {r}: {frac:.6f}")
+    # per-map-size: fine maps run 60% of DCN wall time; a smaller clamp
+    # there is only safe if their offsets are small IN CELLS
+    for hsz in sorted(offs_by_scale, reverse=True):
+        a = np.abs(np.concatenate(offs_by_scale[hsz]))
+        q = np.percentile(a, [50, 99, 100])
+        print(f"  map {hsz}px: p50={q[0]:.3f} p99={q[1]:.3f} "
+              f"max={q[2]:.3f} cells, frac>2: {(a > 2).mean():.5f}")
 
     # ---- decode deltas vs exact gather -------------------------------------
     from centernet_tpu.ops.decode import ctdet_decode
     from centernet_tpu.ops.losses import sigmoid_clamped
 
-    def decode_with(impl, radius):
+    def decode_with(impl, radius, fine=None):
         os.environ["CENTERNET_TPU_DCN_IMPL"] = impl
         os.environ["CENTERNET_TPU_DCN_RADIUS"] = str(radius)
+        if fine is None:
+            os.environ.pop("CENTERNET_TPU_DCN_RADIUS_FINE", None)
+        else:
+            os.environ["CENTERNET_TPU_DCN_RADIUS_FINE"] = str(fine)
 
         # fresh function object per call -> fresh trace, so the env-selected
         # impl is baked into its own compiled graph
@@ -128,9 +140,12 @@ def main():
     topk = min(20, ref.shape[0])
     print(f"comparing top-{topk} decoded detections + raw output maps "
           f"(ref = exact gather); ref top score {ref[0, 4]:.4f}")
-    for impl, r in (("banded", 4), ("stencil", 4), ("banded", 2),
-                    ("stencil", 2), ("banded", 1)):
-        d, maps = decode_with(impl, r)
+    for impl, r, fine in (("banded", 4, None), ("stencil", 4, None),
+                          ("banded", 2, None), ("stencil", 2, None),
+                          ("banded", 1, None), ("banded", 4, 2),
+                          ("banded", 4, 1)):
+        d, maps = decode_with(impl, r, fine)
+        tag = f"{impl} r={r}" + (f" fine={fine}" if fine else "")
         # raw-map deltas (decode-input level)
         map_d = {
             k: float(np.abs(maps[k] - ref_maps[k]).max()) for k in maps
@@ -142,7 +157,7 @@ def main():
         j = dist.argmin(axis=1)
         box_delta = np.abs(d[j, :4] - ref[:topk, :4])
         score_delta = np.abs(d[j, 4] - ref[:topk, 4])
-        print(f"{impl} r={r}: box max {box_delta.max():.4f} px mean "
+        print(f"{tag}: box max {box_delta.max():.4f} px mean "
               f"{box_delta.mean():.5f} | score max {score_delta.max():.5f} "
               f"| map deltas {map_d}")
 

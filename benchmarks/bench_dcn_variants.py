@@ -174,6 +174,190 @@ def banded_v3(
     return out + bias
 
 
+def banded_v4(
+    x, offsets, mask, weight, bias,
+    kernel_size=3, padding=1, dilation=1, radius=4,
+    group=2, tight_clip=False,
+):
+    """Round-3 variant: dy shifts contracted in GROUPS stacked on the rhs
+    CHANNEL axis (N = group*C fills the 128 MXU lanes; group=1 == the
+    baseline shape), with the group's wy weights applied in a small fused
+    epilogue.  Unlike banded_f there is no [B,H,Q,S,C] mega-window: the rhs
+    for a group is a dynamic slice of a once-built consecutive-pair stack,
+    so no per-tap materialization.  ``tight_clip`` clips offsets to
+    [-r, r - 1/64] so floor(off) never reaches +r and the dy span shrinks
+    (2r+2) -> (2r+1); offsets that sat exactly at +r move by 1/64 cell.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    b, h, w, ci = x.shape
+    kk = kernel_size * kernel_size
+    co = weight.shape[-1]
+    r = radius
+    span = (2 * r + 1) if tight_clip else (2 * r + 2)
+    lo = padding + r
+    hi = (kernel_size - 1) * dilation - padding + r + 1
+    wh = w + lo + hi
+    dt = x.dtype
+    xpad = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
+    w_taps = weight.reshape(kk, ci, co).astype(dt)
+    prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
+    hi_clip = (r - 1.0 / 64.0) if tight_clip else float(r)
+    off = jnp.clip(
+        offsets.reshape(b, h, w, kk, 2).astype(jnp.float32), -r, hi_clip
+    )
+    sy_min = -padding - r
+    sy_max = (kernel_size - 1) * dilation - padding + r + 1
+    n_sy = sy_max - sy_min + 1
+    # consecutive GROUPS of row shifts stacked on channels, built once:
+    # grp_all[s] = concat(rows[s], rows[s+1], ..., rows[s+group-1], ch axis)
+    rows = [
+        jax.lax.dynamic_slice(xpad, (0, lo + sy, 0, 0), (b, h, wh, ci))
+        for sy in range(sy_min, sy_max + 1)
+    ]
+    # pad with zero rows so every group START (incl. short tail groups,
+    # whose trailing channels are sliced off) indexes in range
+    rows += [jnp.zeros_like(rows[0])] * (group - 1)
+    grp_all = jnp.stack(
+        [
+            jnp.concatenate(rows[s : s + group], axis=-1)
+            for s in range(n_sy)
+        ]
+    )  # [n_sy, B, H, WH, group*Ci]
+
+    qx = jnp.arange(wh, dtype=jnp.int32)
+    px = jnp.arange(w, dtype=jnp.int32)
+    out = jnp.zeros((b, h, w, co), jnp.float32)
+    n_groups = -(-span // group)  # ceil
+
+    for k in range(kk):
+        ky = (k // kernel_size) * dilation - padding
+        kx = (k % kernel_size) * dilation - padding
+        oy = off[:, :, :, k, 0]
+        ox = off[:, :, :, k, 1]
+        oxf = jnp.floor(ox)
+        fx = (ox - oxf).astype(dt)
+        oyf = jnp.floor(oy)
+        fy = oy - oyf
+        x0 = px[None, None, :] + (kx + lo) + oxf.astype(jnp.int32)
+        mx = jnp.where(qx == x0[..., None], (1.0 - fx)[..., None], 0.0) + \
+            jnp.where(qx == x0[..., None] + 1, fx[..., None], 0.0)
+        mx = mx.astype(dt)
+        base = ky - r - sy_min
+
+        col = jnp.zeros((b, h, w, ci), jnp.float32)
+        for g in range(n_groups):
+            d0 = g * group
+            gsz = min(group, span - d0)
+            start = base + d0
+            if gsz == group:
+                rhs = jax.lax.dynamic_index_in_dim(
+                    grp_all, start, axis=0, keepdims=False
+                )
+            else:  # tail group smaller than `group`
+                rhs = jax.lax.dynamic_index_in_dim(
+                    grp_all, start, axis=0, keepdims=False
+                )[..., : gsz * ci]
+            t = jnp.einsum(
+                "bhwq,bhqz->bhwz", mx, rhs,
+                preferred_element_type=jnp.float32, precision=prec,
+            )  # [B, H, W, gsz*Ci]
+            for j in range(gsz):
+                s_rel = float(d0 + j - r)
+                wy = (
+                    jnp.where(oyf == s_rel, 1.0 - fy, 0.0)
+                    + jnp.where(oyf == s_rel - 1.0, fy, 0.0)
+                )
+                col = col + wy[..., None] * t[..., j * ci : (j + 1) * ci]
+        colm = (col * mask[:, :, :, k, None]).astype(dt)
+        out = out + jnp.einsum(
+            "bhwc,co->bhwo", colm, w_taps[k],
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+    return out + bias
+
+
+def banded_v5(
+    x, offsets, mask, weight, bias,
+    kernel_size=3, padding=1, dilation=1, radius=4,
+):
+    """Round-3 variant: JOINT (dy, q) contraction — wy folded into the
+    one-hot so each tap is ONE dot with K = span*WH (fewer padded K passes
+    than span separate K=WH dots) at the price of a [B,H,W,span*WH] lhs.
+    Tests whether XLA fuses the one-hot generation into the dot's lhs read
+    (if it materializes, HBM traffic kills it — that is the measurement).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    b, h, w, ci = x.shape
+    kk = kernel_size * kernel_size
+    co = weight.shape[-1]
+    r = radius
+    span = 2 * r + 2
+    lo = padding + r
+    hi = (kernel_size - 1) * dilation - padding + r + 1
+    wh = w + lo + hi
+    dt = x.dtype
+    xpad = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
+    w_taps = weight.reshape(kk, ci, co).astype(dt)
+    prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
+    off = jnp.clip(
+        offsets.reshape(b, h, w, kk, 2).astype(jnp.float32), -r, r
+    )
+    sy_min = -padding - r
+    sy_max = (kernel_size - 1) * dilation - padding + r + 1
+
+    qx = jnp.arange(wh, dtype=jnp.int32)
+    px = jnp.arange(w, dtype=jnp.int32)
+    srel = jnp.arange(span, dtype=jnp.float32) - r  # [S]
+    out = jnp.zeros((b, h, w, co), jnp.float32)
+
+    for k in range(kk):
+        ky = (k // kernel_size) * dilation - padding
+        kx = (k % kernel_size) * dilation - padding
+        oy = off[:, :, :, k, 0]
+        ox = off[:, :, :, k, 1]
+        oxf = jnp.floor(ox)
+        fx = (ox - oxf).astype(dt)
+        oyf = jnp.floor(oy)
+        fy = oy - oyf
+        x0 = px[None, None, :] + (kx + lo) + oxf.astype(jnp.int32)
+        mx = jnp.where(qx == x0[..., None], (1.0 - fx)[..., None], 0.0) + \
+            jnp.where(qx == x0[..., None] + 1, fx[..., None], 0.0)
+        # [B,H,W,S] y-bilinear weights
+        wy = (
+            jnp.where(oyf[..., None] == srel, (1.0 - fy)[..., None], 0.0)
+            + jnp.where(oyf[..., None] == srel - 1.0, fy[..., None], 0.0)
+        )
+        # joint lhs [B,H,W,S*WH] = wy (x) mx
+        lhs = (wy[..., :, None] * mx[..., None, :]).reshape(
+            b, h, w, span * wh
+        ).astype(dt)
+        base = ky - r - sy_min
+        rhs = jnp.stack(
+            [
+                jax.lax.dynamic_slice(
+                    xpad, (0, lo + (ky - r + d), 0, 0), (b, h, wh, ci)
+                )
+                for d in range(span)
+            ],
+            axis=2,
+        ).reshape(b, h, span * wh, ci)
+        del base
+        col = jnp.einsum(
+            "bhwq,bhqc->bhwc", lhs, rhs,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        colm = (col * mask[:, :, :, k, None]).astype(dt)
+        out = out + jnp.einsum(
+            "bhwc,co->bhwo", colm, w_taps[k],
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+    return out + bias
+
+
 def probe_gather(reps=5):
     """Gather cost vs slice size: [s, s, C] blocks at fixed index count."""
     import jax
@@ -222,6 +406,10 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--radius", type=int, default=4)
     ap.add_argument("--probe-gather", action="store_true")
+    ap.add_argument("--only", type=str, default="",
+                    help="comma-separated variant names to run")
+    ap.add_argument("--check", action="store_true",
+                    help="numerics check vs baseline banded (run on CPU)")
     ap.add_argument("--train", action="store_true",
                     help="time fwd+bwd via jax.grad instead of fwd")
     args = ap.parse_args()
@@ -277,9 +465,47 @@ def main():
         "banded_fg": functools.partial(
             banded_v3, radius=r, stack_dy=True, chunk=64
         ),
+        "pair2": functools.partial(banded_v4, radius=r, group=2),
+        "pair2t": functools.partial(
+            banded_v4, radius=r, group=2, tight_clip=True
+        ),
+        "pair4": functools.partial(banded_v4, radius=r, group=4),
+        "pair1t": functools.partial(
+            banded_v4, radius=r, group=1, tight_clip=True
+        ),
+        "jointk": functools.partial(banded_v5, radius=r),
         "window": window_deform_conv,
         "gather": dcn_v2,
     }
+    if args.only:
+        keep = args.only.split(",")
+        variants = {k: v for k, v in variants.items() if k in keep}
+
+    if args.check:
+        # small-shape f32 numerics check vs the shipped banded kernel
+        # (tight_clip variants differ only for offsets in [r-1/64, r]: the
+        # generator below avoids that band so equality is exact-contract)
+        b, s, c = 2, 12, 8
+        x = jnp.asarray(rng.standard_normal((b, s, s, c)), jnp.float32)
+        offv = rng.uniform(-3.5, 3.5, (b, s, s, 2 * kk))
+        offv = np.where(np.abs(offv) > r - 0.1, r - 0.2, offv)
+        offv = jnp.asarray(offv, jnp.float32)
+        m = jnp.asarray(rng.uniform(0, 1, (b, s, s, kk)), jnp.float32)
+        wgt = jnp.asarray(rng.standard_normal((kk * c, c)) * 0.1, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+        ref = np.asarray(
+            banded_deform_conv(x, offv, m, wgt, bias, radius=r,
+                               unroll_taps=True)
+        )
+        for name, fn in variants.items():
+            if name in ("window", "gather", "banded",
+                        "banded_g", "banded_fg"):
+                continue  # gather exact-vs-clamped / chunk needs w%64==0
+            got = np.asarray(fn(x, offv, m, wgt, bias))
+            err = np.abs(got - ref).max()
+            print(f"{name:10s} max |delta| vs banded: {err:.2e}"
+                  f" {'OK' if err < 1e-4 else 'MISMATCH'}")
+        return
 
     for name, fn in variants.items():
         if args.train:

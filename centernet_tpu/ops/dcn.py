@@ -14,12 +14,12 @@ v5e, any slice shape) and its BACKWARD is a scatter-add that is another two
 orders of magnitude slower. The implementation hierarchy:
 
 * ``banded_deform_conv`` (round-2 fast path) — offsets clamped to
-  +-radius; only the Y axis pays the dense (2r+2) row-shift expansion,
+  +-radius (tight: [-r, r-1/64]); only the Y axis pays the dense (2r+1) row-shift expansion,
   the X-axis bilinear selection is a per-row one-hot BAND MATRIX
   contracted on the MXU; exact bilinear numerics within the clamp, plain
   autodiff (dense matmul transposes; no scatter), remat under training.
 * ``stencil_deform_conv`` — round-1 dense path: each tap's bilinear sample
-  expanded over all (2r+2)^2 static integer shifts (HBM-bound shifted FMA
+  expanded over all (2r+1)^2 static integer shifts (HBM-bound shifted FMA
   passes) with a custom dense VJP.  Historical/ablation only: its tent-form
   weights have zero offset-gradient at integer offsets (zero init!) — see
   the banded docstring.
@@ -54,6 +54,15 @@ from flax import linen as nn
 # torch BN momentum 0.1 == flax decay 0.9 (kept local: importing
 # models.layers here would create a package-import cycle).
 BN_MOMENTUM = 0.9
+
+# TIGHT clamp: offsets clip to [-r, r - 1/64] (not [-r, r]) so the bilinear
+# floor never reaches +r — the dense row-shift expansion then spans 2r+1
+# integer shifts instead of 2r+2 (a free ~10-17% cut of the banded/stencil
+# work; measured 1.1-1.2x end-to-end). Offsets that saturated at exactly +r
+# move by 1/64 cell = 1/16 image px at stride 4 — far below the 0.06 px
+# skew of the per-scale clamp itself (BENCHMARKS.md round-3 skew study).
+# 1/64 is exactly representable in f32/bf16.
+CLIP_EPS = 1.0 / 64.0
 
 
 def deform_sample(
@@ -189,7 +198,7 @@ def stencil_deform_conv(
     bandwidth — so any gather-based deformable conv is wall-limited. This
     formulation removes the gather entirely: offsets are clamped to
     [-radius, +radius] and each tap's bilinear sample is expanded over the
-    (2*radius+2)^2 integer shifts it can touch:
+    (2*radius+1)^2 integer shifts it can touch (tight clip, see CLIP_EPS):
 
         col_k[p] = sum_s  relu(1-|ty-sy|) * relu(1-|tx-sx|) * xpad[p+s]
 
@@ -223,19 +232,20 @@ def stencil_deform_conv(
     )
 
     r = radius
-    # margin: base tap reach (pad..kernel) + radius + 1 for bilinear
+    # margin: base tap reach (pad..kernel) + radius (tight clip keeps the
+    # bilinear +1 corner at most +r)
     lo = padding + r  # max negative displacement
-    hi = (kernel_size - 1) * dilation - padding + r + 1
+    hi = (kernel_size - 1) * dilation - padding + r
     xpad = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
 
-    off = jnp.clip(offsets.reshape(b, h, w, kk, 2), -r, r)
+    off = jnp.clip(offsets.reshape(b, h, w, kk, 2), -r, r - CLIP_EPS)
     w_taps = weight.reshape(kk, ci, co)
     mask_t = jnp.moveaxis(mask, 3, 0)  # [KK, B, H, W]
     off_t = jnp.moveaxis(off, 3, 0)  # [KK, B, H, W, 2]
     kys = (jnp.arange(kk) // kernel_size) * dilation - padding
     kxs = (jnp.arange(kk) % kernel_size) * dilation - padding
 
-    span = 2 * r + 2  # integer shifts per axis a clamped offset can touch
+    span = 2 * r + 1  # integer shifts per axis a tight-clamped offset touches
     # f32 inputs demand true-f32 matmuls (default matmul precision runs
     # bf16 passes even for f32 operands)
     prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
@@ -296,14 +306,16 @@ def _stencil_bwd(kernel_size, stride, padding, dilation, radius, res, g):
     co = weight.shape[-1]
     r = radius
     lo = padding + r
-    hi = (kernel_size - 1) * dilation - padding + r + 1
-    span = 2 * r + 2
+    hi = (kernel_size - 1) * dilation - padding + r
+    span = 2 * r + 1
 
     xpad = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
-    off_c = jnp.clip(offsets.reshape(b, h, w, kk, 2), -r, r)
+    off_c = jnp.clip(offsets.reshape(b, h, w, kk, 2), -r, r - CLIP_EPS)
     # clip pass-through mask for the offset gradient
     off_raw = offsets.reshape(b, h, w, kk, 2)
-    pass_thru = ((off_raw >= -r) & (off_raw <= r)).astype(jnp.float32)
+    pass_thru = (
+        (off_raw >= -r) & (off_raw <= r - CLIP_EPS)
+    ).astype(jnp.float32)
     w_taps = weight.reshape(kk, ci, co)
     g = g.astype(jnp.float32)
 
@@ -400,8 +412,9 @@ def banded_deform_conv(
 
     Same numerics contract as ``stencil_deform_conv`` (offsets clamped to
     +-radius, zero outside the image), but instead of expanding the bilinear
-    product over all (2r+2)^2 integer shifts as HBM-bound shifted FMA passes,
-    only the Y axis is densely expanded (2r+2 row shifts); the X-axis
+    product over all (2r+1)^2 integer shifts as HBM-bound shifted FMA passes,
+    only the Y axis is densely expanded (2r+1 row shifts; tight clip
+    [-r, r-1/64] keeps the bilinear floor below +r); the X-axis
     bilinear selection becomes a per-row banded ONE-HOT MATRIX contracted on
     the MXU:
 
@@ -409,7 +422,7 @@ def banded_deform_conv(
 
     where Mx_k[b, h, w, q] holds (1-fx) at q = x0(p) and fx at q = x0+1 —
     two nonzeros per output position over the W+2r+k halo columns.  HBM
-    passes drop from 9*(2r+2)^2 (=900 at r=4) to ~9*(2r+2) plus the one-hot
+    passes drop from 9*(2r+1)^2 (=729 at r=4) to ~9*(2r+1) plus the one-hot
     materialization; the selection work rides the MXU.  Gradients are plain
     autodiff (dense matmuls; the one-hot comparisons carry no gradient, the
     fx/wy factors carry exactly the bilinear derivative) — wrap in
@@ -423,9 +436,9 @@ def banded_deform_conv(
     co = weight.shape[-1]
     assert stride == 1, "banded path supports stride-1 same-size DCN"
     r = radius
-    span = 2 * r + 2
+    span = 2 * r + 1  # tight clip: floor(off) < r, so 2r+1 row shifts
     lo = padding + r
-    hi = (kernel_size - 1) * dilation - padding + r + 1
+    hi = (kernel_size - 1) * dilation - padding + r
     wh = w + lo + hi
     dt = x.dtype
 
@@ -437,17 +450,17 @@ def banded_deform_conv(
     # bf16 production inputs keep the fast default.
     prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
 
-    off = jnp.clip(offsets.reshape(b, h, w, kk, 2), -r, r)
+    off = jnp.clip(offsets.reshape(b, h, w, kk, 2), -r, r - CLIP_EPS)
     qx = jnp.arange(wh, dtype=jnp.int32)  # halo column index
     px = jnp.arange(w, dtype=jnp.int32)
 
     # row-shifted views are shared across taps (sy = ky - r + dy spans
     # [-pad-r, (k-1)d-pad+r+1] over all (tap, dy) pairs): slice each once
     # and stack so the dy loop can be a lax.scan — the fully unrolled form
-    # (9 taps x (2r+2) einsums x layers) produced XLA graphs that took
+    # (9 taps x (2r+1) einsums x layers) produced XLA graphs that took
     # >25 min to compile for the 512^2 dla_34 training step.
     sy_min = -padding - r
-    sy_max = (kernel_size - 1) * dilation - padding + r + 1
+    sy_max = (kernel_size - 1) * dilation - padding + r
     xrows_all = jnp.stack(
         [
             jax.lax.dynamic_slice(xpad, (0, lo + sy, 0, 0), (b, h, wh, ci))
@@ -521,6 +534,11 @@ def banded_deform_conv(
                 (ky, kx, off[:, :, :, k, :], mask[:, :, :, k], w_taps[k]),
             )
     else:
+        import os
+
+        # partial unroll: compile-time vs cross-tap fusion trade
+        # (unroll=9 == the fully unrolled form, >30 min XLA compile)
+        unroll = int(os.environ.get("CENTERNET_TPU_DCN_SCAN_UNROLL", "1"))
         out, _ = jax.lax.scan(
             tap_body,
             out,
@@ -531,6 +549,7 @@ def banded_deform_conv(
                 jnp.moveaxis(mask, 3, 0),  # [KK, B, H, W]
                 w_taps,
             ),
+            unroll=unroll,
         )
     return out + bias
 
@@ -776,6 +795,26 @@ class DCN(nn.Module):
             else:
                 impl = "gather"
         radius = int(os.environ.get("CENTERNET_TPU_DCN_RADIUS", "4"))
+        # Per-scale clamp, DEFAULT radius 2 on FINE maps (min dim >= 96
+        # cells): fine-scale layers dominate DCN cost (~60% of the banded
+        # wall time in dla_34) yet their learned offsets stay small — the
+        # 512^2 production-scale study (benchmarks/bench_dcn_skew.py,
+        # BENCHMARKS.md round-3) measures fine-map offsets p99 = 2.06
+        # cells (vs 4-5.7 on coarse maps) and decoded-box skew of the
+        # fine=2 default at 0.06 px max vs exact sampling. Set
+        # CENTERNET_TPU_DCN_RADIUS_FINE=off (or 0) to clamp every scale at
+        # CENTERNET_TPU_DCN_RADIUS instead.
+        fine_env = os.environ.get("CENTERNET_TPU_DCN_RADIUS_FINE", "2")
+        fine = 0 if fine_env in ("", "off", "none") else int(fine_env)
+        if fine > 0 and min(x.shape[1], x.shape[2]) >= 96:
+            radius = fine
+        # Effective radius never reaches the feature-map size: with
+        # radius >= min(H, W) the model can learn to push every tap out of
+        # bounds and collapse the DCN output to its bias (an
+        # input-independent local optimum observed on 2x2 stride-32 maps at
+        # toy resolutions — BENCHMARKS.md round-3 findings). Production maps
+        # (>= 16 cells at 512^2) are unaffected by the cap.
+        radius = max(1, min(radius, min(x.shape[1], x.shape[2]) - 1))
         # The surrounding BN/ReLU layers run their affine math in f32; make
         # sure the deformable sampling + its matmuls run in the model's
         # compute dtype (a silent f32 input makes every selection einsum a
@@ -811,10 +850,22 @@ class DCN(nn.Module):
         # train-mode heatmap peaks 0.44 vs near-flat 0.03 eval heatmaps on
         # an overfit resdcn_18). Divergence vs reference DCNv2 (unbounded,
         # pose_dla_dcn.py:441-449) is quantified in benchmarks/
-        # bench_dcn_skew.py: decoded boxes identical to 1e-4 px at r=4.
-        # Set CENTERNET_TPU_DCN_RADIUS high to approximate unbounded (the
-        # gather impl stays exact for any radius).
-        offsets = jnp.clip(offsets, -float(radius), float(radius))
+        # bench_dcn_skew.py at 512^2: the r=4-coarse/r=2-fine default
+        # skews boxes <=0.06 px (a GLOBAL r=2 would skew ~2.5 px — coarse
+        # maps need the full radius; fine maps don't). Set
+        # CENTERNET_TPU_DCN_RADIUS high + RADIUS_FINE=off to approximate
+        # unbounded (the gather impl stays exact for any radius).
+        #
+        # Straight-through clamp: jnp.clip's gradient is zero outside the
+        # bounds, so an offset pushed past +-radius would never receive
+        # gradient again (frozen, unable to return). The forward uses the
+        # clamped value; the backward passes through as if unclamped.
+        # Tight upper bound r - 1/64 (see CLIP_EPS) keeps the bilinear
+        # floor below +r so the kernels run 2r+1 row shifts, not 2r+2.
+        clamped = jnp.clip(
+            offsets, -float(radius), float(radius) - CLIP_EPS
+        )
+        offsets = offsets + jax.lax.stop_gradient(clamped - offsets)
         mask = jax.nn.sigmoid(m.astype(jnp.float32))
 
         ci = x.shape[-1]
@@ -854,7 +905,15 @@ class DCN(nn.Module):
                 unroll_taps=not train,
             )
             if train:
-                fn = jax.checkpoint(fn)
+                # CENTERNET_TPU_DCN_REMAT: full (default) recomputes the
+                # whole sampling in the backward; dots saves the einsum
+                # outputs (faster bwd, more HBM)
+                if os.environ.get("CENTERNET_TPU_DCN_REMAT", "full") == "dots":
+                    fn = jax.checkpoint(
+                        fn, policy=jax.checkpoint_policies.dots_saveable
+                    )
+                else:
+                    fn = jax.checkpoint(fn)
             return fn(x, offsets, mask, weight, bias)
         if impl == "stencil":
             # custom VJP already keeps only (x, offsets, mask, weight) as

@@ -15,9 +15,11 @@ Semantics mirror the reference decoders bit-for-bit:
 
 Everything is fixed-shape and jittable — ``lax.top_k`` + gathers compile to a
 single fused XLA computation so only the final ``[B, K, *]`` tensor leaves the
-device. Measured on v5e (dla_34, 512^2, bf16), the XLA decode is <3% of the
-forward+decode wall time, so no hand-written Pallas decode kernel is
-warranted; the DCN backbone op dominates (see ops/dcn_pallas.py).
+device. Measured on v5e (dla_34, 512^2, bf16), the XLA decode is ~0.5
+ms/img = 3.1% of forward+decode wall time — re-measured in round 3 AFTER
+the backbone sped up 1.6x (15.4 fwd vs 15.9 fwd+decode ms/img), so no
+hand-written Pallas decode kernel is warranted; the DCN backbone op still
+dominates (see ops/dcn_pallas.py).
 
 Layout note: feature maps are NHWC. Flat peak indices are ``y*W + x`` exactly
 as the reference computes them, so sample encoders, losses, and decode agree.

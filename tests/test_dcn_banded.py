@@ -103,6 +103,70 @@ def test_banded_wide_feature_maps():
                                rtol=1e-5)
 
 
+def test_fine_map_radius_default():
+    """The per-scale clamp default (r=4 coarse / r=2 on maps >= 96 cells,
+    certified by the 512^2 skew study in BENCHMARKS.md): the DCN MODULE on
+    a fine map must clamp exactly like an explicit radius-2 kernel, and on
+    a coarse map like radius 4; RADIUS_FINE=off restores the global clamp.
+    """
+    import os
+
+    from centernet_tpu.ops.dcn import DCN
+
+    rng = np.random.default_rng(11)
+    c = 4
+    m = DCN(features=c, dtype=jnp.float32)
+    inputs = {
+        hw: jnp.asarray(rng.standard_normal((1, hw, hw, c)), jnp.float32)
+        for hw in (96, 32)
+    }
+    vs = m.init(jax.random.PRNGKey(0), inputs[96])
+    params = dict(vs["params"])
+    com = dict(params["conv_offset_mask"])
+    # non-zero offset bias so offsets reach well past +-2 and the clamp
+    # radius actually changes the output
+    com["bias"] = jnp.asarray(
+        rng.uniform(-5, 5, com["bias"].shape), jnp.float32
+    )
+    params["conv_offset_mask"] = com
+    variables = {"params": params}
+
+    def module_out(hw, **env):
+        old = {k: os.environ.get(k) for k in env}
+        os.environ.update({k: str(v) for k, v in env.items()})
+        try:
+            return np.asarray(m.apply(variables, inputs[hw]))
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    # fine map (96 cells): default must equal an explicit global radius 2
+    out_fine = module_out(96, CENTERNET_TPU_DCN_IMPL="banded")
+    out_fine_r2 = module_out(
+        96, CENTERNET_TPU_DCN_IMPL="banded",
+        CENTERNET_TPU_DCN_RADIUS="2", CENTERNET_TPU_DCN_RADIUS_FINE="off",
+    )
+    out_fine_off = module_out(
+        96, CENTERNET_TPU_DCN_IMPL="banded",
+        CENTERNET_TPU_DCN_RADIUS_FINE="off",
+    )
+    np.testing.assert_allclose(out_fine, out_fine_r2, atol=1e-5)
+    assert np.abs(out_fine - out_fine_off).max() > 1e-4, (
+        "radius 4 vs 2 must differ through a +-5 offset bias"
+    )
+
+    # coarse map (32 cells): fine clamp must NOT apply (equals global r=4)
+    out_coarse = module_out(32, CENTERNET_TPU_DCN_IMPL="banded")
+    out_coarse_r4 = module_out(
+        32, CENTERNET_TPU_DCN_IMPL="banded",
+        CENTERNET_TPU_DCN_RADIUS_FINE="off",
+    )
+    np.testing.assert_allclose(out_coarse, out_coarse_r4, atol=1e-5)
+
+
 def test_training_moves_dcn_offsets():
     """System-level gate on the offset-gradient fix: a few optimizer steps
     on a DCN model must move the (zero-initialized) offset-conv parameters
