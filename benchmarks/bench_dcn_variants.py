@@ -401,6 +401,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=int, default=128)
     ap.add_argument("--channels", type=int, default=64)
+    ap.add_argument("--co", type=int, default=0,
+                    help="output channels (0 = same as --channels); "
+                    "ci > co exercises the channel-folded banded form")
     ap.add_argument("--b1", type=int, default=4)
     ap.add_argument("--b2", type=int, default=8)
     ap.add_argument("--reps", type=int, default=5)
@@ -435,7 +438,7 @@ def main():
     )
 
     hw, ci = args.scale, args.channels
-    co = ci
+    co = args.co or ci
     kk = 9
     r = args.radius
     rng = np.random.default_rng(0)

@@ -47,6 +47,23 @@ def pseudo_nms(heat, kernel: int = 3):
     return jnp.where(hmax == heat, heat, 0.0)
 
 
+def _top_k(x, k: int):
+    """Exact top-k. On TPU, ``lax.top_k`` lowers to a FULL per-row sort
+    (profiled: 0.84 ms/img of the dla_34 decode = 6% of total device
+    time); ``lax.approx_max_k`` with ``recall_target=1.0`` uses the
+    PartialReduce TPU op, is exact (values AND indices verified equal on
+    random data), and measures 14.7x faster (0.072 vs 1.059 ms per
+    [80, 16384] row-batch, k=100). Tie ORDER may differ from lax.top_k's
+    — the reference's torch.topk tie order is equally unspecified, so the
+    semantic contract (top-k by score) is preserved.
+    """
+    if jax.default_backend() == "tpu":
+        return jax.lax.approx_max_k(
+            x, k, recall_target=1.0, aggregate_to_topk=True
+        )
+    return jax.lax.top_k(x, k)
+
+
 def topk(scores, k: int = 40):
     """Two-stage top-K over a [B, H, W, C] score map.
 
@@ -56,13 +73,13 @@ def topk(scores, k: int = 40):
     b, h, w, c = scores.shape
     # per-class top-k over the spatial axis
     flat = jnp.transpose(scores, (0, 3, 1, 2)).reshape(b, c, h * w)
-    cls_scores, cls_inds = jax.lax.top_k(flat, k)  # [B, C, K]
+    cls_scores, cls_inds = _top_k(flat, k)  # [B, C, K]
     cls_ys = (cls_inds // w).astype(jnp.float32)
     cls_xs = (cls_inds % w).astype(jnp.float32)
 
     # global top-k over classes
     all_scores = cls_scores.reshape(b, c * k)
-    top_scores, top_ind = jax.lax.top_k(all_scores, k)  # [B, K]
+    top_scores, top_ind = _top_k(all_scores, k)  # [B, K]
     clses = (top_ind // k).astype(jnp.int32)
 
     def _gather(x):
@@ -79,7 +96,7 @@ def topk_channel(scores, k: int = 40):
     (reference: utils/decode.py:31-40)."""
     b, h, w, c = scores.shape
     flat = jnp.transpose(scores, (0, 3, 1, 2)).reshape(b, c, h * w)
-    top_scores, top_inds = jax.lax.top_k(flat, k)
+    top_scores, top_inds = _top_k(flat, k)
     ys = (top_inds // w).astype(jnp.float32)
     xs = (top_inds % w).astype(jnp.float32)
     return top_scores, top_inds.astype(jnp.int32), ys, xs
