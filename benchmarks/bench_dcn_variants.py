@@ -479,6 +479,8 @@ def main():
         "jointk": functools.partial(banded_v5, radius=r),
         "window": window_deform_conv,
         "gather": dcn_v2,
+        "gather_u": functools.partial(dcn_v2, tap_mode="unroll"),
+        "gather_1": functools.partial(dcn_v2, tap_mode="fused"),
     }
     if args.only:
         keep = args.only.split(",")

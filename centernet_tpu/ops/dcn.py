@@ -712,12 +712,22 @@ def dcn_v2(
     stride: int = 1,
     padding: int = 1,
     dilation: int = 1,
+    tap_mode: str = "scan",
 ) -> jax.Array:
     """Modulated deformable conv forward: [B, Ho, Wo, Co].
 
-    Accumulates tap-by-tap so the im2col intermediate never materializes at
-    full [.., KK, Ci] size: each tap contributes one [Ci -> Co] matmul on the
-    MXU with f32 accumulation.
+    ``tap_mode`` trades compile time against tap-level parallelism (the
+    round-3 device profile attributed six ~3.4 ms `while` loops — 18% of
+    dla_34 infer device time — to this scan serializing the 9 corner
+    gathers of the six 64^2 layers):
+
+    * ``"scan"``: lax.scan over taps — one tap's graph compiled once,
+      intermediates capped at one tap's [B, N, 2, 2, Ci]. Training-safe.
+    * ``"unroll"``: static Python loop — XLA overlaps the 9 gathers and
+      pipelines the per-tap einsums.
+    * ``"fused"``: ONE gather for all taps ([B, KK*N, 2] indices) and ONE
+      [B*H*W, KK*Ci] @ [KK*Ci, Co] matmul — fewer, fatter ops; the KK*Ci
+      contraction fills MXU lanes that a thin Ci dot leaves idle.
     """
     kk = kernel_size * kernel_size
     b, h, w, ci = x.shape
@@ -732,6 +742,60 @@ def dcn_v2(
     w_taps = weight.reshape(kk, ci, co).astype(x.dtype)
     mask_t = jnp.moveaxis(mask, 3, 0)  # [KK, B, Ho, Wo]
 
+    if tap_mode == "fused":
+        y0f = jnp.floor(py)  # [KK, B, Ho, Wo]
+        x0f = jnp.floor(px)
+        wy1 = py - y0f
+        wx1 = px - x0f
+        wy0 = 1.0 - wy1
+        wx0 = 1.0 - wx1
+
+        def _inb(yc, xc):
+            return (
+                (yc >= 0) & (yc < h) & (xc >= 0) & (xc < w)
+            ).astype(x.dtype)
+
+        # [KK, B, Ho, Wo, 4] corner weights (00, 01, 10, 11)
+        cw = jnp.stack(
+            [
+                wy0 * wx0 * _inb(y0f, x0f),
+                wy0 * wx1 * _inb(y0f, x0f + 1),
+                wy1 * wx0 * _inb(y0f + 1, x0f),
+                wy1 * wx1 * _inb(y0f + 1, x0f + 1),
+            ],
+            axis=-1,
+        ).astype(x.dtype)
+
+        y0 = (jnp.clip(y0f, -1, h - 1) + 1).astype(jnp.int32)
+        x0 = (jnp.clip(x0f, -1, w - 1) + 1).astype(jnp.int32)
+        starts = jnp.stack([y0, x0], axis=-1)  # [KK, B, Ho, Wo, 2]
+        starts = jnp.moveaxis(starts, 1, 0).reshape(b, kk * ho * wo, 2)
+
+        def gather_one(xp, st):
+            return jax.lax.gather(
+                xp, st, _GATHER_DNUMS, slice_sizes=(2, 2, ci),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            )
+
+        blocks = jax.vmap(gather_one)(xpad, starts)  # [B, KK*N, 2, 2, Ci]
+        blocks = blocks.reshape(b, kk, ho, wo, 4, ci)
+        cwt = jnp.moveaxis(cw, 1, 0)  # [B, KK, Ho, Wo, 4]
+        col = jnp.einsum(
+            "bkhwy,bkhwyc->bhwkc", cwt, blocks,
+            preferred_element_type=x.dtype,
+        )
+        # mask: [KK, B, Ho, Wo] -> [B, Ho, Wo, KK, 1]
+        col = col * jnp.transpose(mask_t, (1, 2, 3, 0))[..., None].astype(
+            x.dtype
+        )
+        out = jnp.einsum(
+            "bhwk,ko->bhwo",
+            col.reshape(b, ho, wo, kk * ci),
+            weight.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return out + bias
+
     def step(acc, xs):
         py_k, px_k, m_k, w_k = xs
         col = _sample_one_tap(xpad, py_k, px_k, h, w, x.dtype)
@@ -742,6 +806,10 @@ def dcn_v2(
         return acc + term, None
 
     init = jnp.zeros((b, ho, wo, co), jnp.float32)
+    if tap_mode == "unroll":
+        for k in range(kk):
+            init, _ = step(init, (py[k], px[k], mask_t[k], w_taps[k]))
+        return init + bias
     out, _ = jax.lax.scan(step, init, (py, px, mask_t, w_taps))
     return out + bias
 
@@ -965,7 +1033,15 @@ class DCN(nn.Module):
                 preferred_element_type=jnp.float32,
             )
             return y * jnp.mean(mask, axis=-1, keepdims=True) + bias
-        return remat(dcn_v2, static_argnums=(5, 6, 7, 8))(
+        # tap_mode: scan while training (autodiff graph stays one-tap
+        # sized); unrolled at inference so XLA overlaps the 9 corner
+        # gathers (the round-3 profile showed the scan's `while` loops at
+        # 18% of dla_34 infer device time). CENTERNET_TPU_DCN_GATHER_MODE
+        # overrides (scan | unroll | fused).
+        tap_mode = os.environ.get(
+            "CENTERNET_TPU_DCN_GATHER_MODE", "scan" if train else "unroll"
+        )
+        return remat(dcn_v2, static_argnums=(5, 6, 7, 8, 9))(
             x,
             offsets,
             mask,
@@ -975,6 +1051,7 @@ class DCN(nn.Module):
             self.stride,
             self.padding,
             self.dilation,
+            tap_mode,
         )
 
 

@@ -7,7 +7,11 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from centernet_tpu.ops.dcn import banded_deform_conv, stencil_deform_conv
+from centernet_tpu.ops.dcn import (
+    banded_deform_conv,
+    dcn_v2,
+    stencil_deform_conv,
+)
 
 H, W, C, CO = 16, 16, 8, 8
 
@@ -33,6 +37,18 @@ def test_banded_forward_matches_stencil(radius, unroll):
     ref = np.array(stencil_deform_conv(*a, 3, 1, 1, 1, radius))
     scale = np.abs(ref).max()
     np.testing.assert_allclose(got, ref, atol=1e-5 * scale, rtol=1e-5)
+
+
+@pytest.mark.parametrize("tap_mode", ["unroll", "fused"])
+def test_dcn_v2_tap_modes_match_scan(tap_mode):
+    """The unrolled / single-fused-gather tap modes of the exact gather
+    impl must be bit-compatible with the lax.scan form (they reorder
+    only f32-accumulated additions of identical terms)."""
+    a = _args(seed=9)
+    ref = np.array(dcn_v2(*a, 3, 1, 1, 1, tap_mode="scan"))
+    got = np.array(dcn_v2(*a, 3, 1, 1, 1, tap_mode=tap_mode))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=2e-6 * scale, rtol=2e-6)
 
 
 @pytest.mark.parametrize("unroll", [False, True])
