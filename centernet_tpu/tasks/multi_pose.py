@@ -273,6 +273,55 @@ class CenterNetMultiPose(CenterNet):
             results = results[results[:, 4] >= thresh]
         return results
 
+    # -- batched fixed-shape serving path ------------------------------------------
+
+    def prepare_image_fixed(self, img_hwc: np.ndarray, size: int = 512):
+        """Resize longest side to ``size`` and center-pad to ``size`` x
+        ``size`` (the reference's validation geometry,
+        centernet_multi_pose.py:369-372) so inference batches on one
+        fixed shape. Returns (image [size, size, 3] normalized, meta)."""
+        h, w = img_hwc.shape[:2]
+        scale = size / max(h, w)
+        new_h, new_w = round(h * scale), round(w * scale)
+        img = jax.image.resize(
+            jnp.asarray(img_hwc, jnp.float32), (new_h, new_w, 3), "bilinear"
+        )
+        pad_t = (size - new_h) // 2
+        pad_l = (size - new_w) // 2
+        img = jnp.pad(
+            img,
+            ((pad_t, size - new_h - pad_t), (pad_l, size - new_w - pad_l),
+             (0, 0)),
+        )
+        img = (img - jnp.asarray(self.mean)) / jnp.asarray(self.std)
+        meta = {"scale": [new_w / w, new_h / h], "padding": [pad_l, pad_t]}
+        return img, meta
+
+    def predict_batch(
+        self, variables, images: "jnp.ndarray", metas: List[dict]
+    ) -> List[np.ndarray]:
+        """Batched single-scale pose inference: one device round trip for
+        the whole batch, host-side per-image unpadding. Returns the same
+        [n, 57] row format as ``predict`` (bbox4, score, kps34, class,
+        hm_score17), ready for ``to_coco_format``."""
+        dets = np.array(self._infer_decode_jit(variables, images, False))
+        results = []
+        for det, meta in zip(dets, metas):
+            padding = np.array(meta["padding"], np.float32)
+            sc = np.array(meta["scale"], np.float32)
+            det[:, :4] *= self.down_ratio
+            det[:, :4] -= np.concatenate([padding, padding])
+            det[:, :4] /= np.concatenate([sc, sc])
+            pts = det[:, 5 : 5 + self.num_joints * 2].reshape(
+                -1, self.num_joints, 2
+            )
+            pts = (pts * self.down_ratio - padding) / sc
+            det[:, 5 : 5 + self.num_joints * 2] = pts.reshape(
+                -1, self.num_joints * 2
+            )
+            results.append(det)
+        return results
+
     def to_coco_format(self, image_id, results: np.ndarray) -> List[dict]:
         """-> COCO keypoint result dicts (centernet_multi_pose.py:270-296)."""
         out = []

@@ -1,0 +1,156 @@
+"""Pose train->OKS-AP regression gate: the multi-pose analog of
+test_train_to_ap.py (reference chain: trainer.fit -> COCOeval "keypoints",
+centernet_multi_pose.py:300-308, tests/test_train_multi_pose.py:14-51).
+
+Overfits ``resdcn_18`` multi-pose on painted rectangles whose 17 keypoints
+sit at FIXED fractions of each box — a visually learnable rule (regress
+joint offsets from the object's appearance), not pure memorization — then
+runs the full multi_pose_decode -> COCO keypints format -> OKS COCOeval
+chain and asserts keypoint AP and bbox AP beat the untrained model by a
+wide margin.
+
+This certifies the 6-term pose loss, the on-device pose target encoding,
+the K x K joint-snap decode, and the OKS evaluator end to end — the only
+offline proxy for the pose-accuracy north star. Same calibration notes as
+the detection gate (DCN radius 1 at 64^2; AP through the batched
+fixed-size serving path because TTA padding legitimately breaks a
+memorizing toy — see test_train_to_ap.py module doc).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from centernet_tpu import CenterNetMultiPose
+from centernet_tpu.parallel.mesh import make_mesh
+from centernet_tpu.parallel.trainer import Trainer
+
+SIZE = 64
+B = 8
+STEPS = 200
+J = 17
+
+# fixed relative joint layout inside a box: a 17-point serpentine grid
+_FRAC = np.stack(
+    [
+        np.linspace(0.15, 0.85, J),                      # x fraction
+        0.5 + 0.35 * np.sin(np.linspace(0, 3 * np.pi, J)),  # y fraction
+    ],
+    axis=1,
+).astype(np.float32)
+
+
+def _make_dataset(rng):
+    imgs = rng.rand(B, SIZE, SIZE, 3).astype(np.float32) * 0.15
+    boxes = np.zeros((B, 32, 4), np.float32)
+    kps = np.zeros((B, 32, J, 3), np.float32)
+    valid = np.zeros((B, 32), bool)
+    for i in range(B):
+        w, h = rng.randint(18, 30, 2)
+        x = rng.randint(2, SIZE - w - 2)
+        y = rng.randint(2, SIZE - h - 2)
+        imgs[i, y : y + h, x : x + w] = 0.85 + 0.1 * rng.rand(h, w, 3)
+        boxes[i, 0] = [x, y, w, h]
+        kps[i, 0, :, 0] = x + _FRAC[:, 0] * w
+        kps[i, 0, :, 1] = y + _FRAC[:, 1] * h
+        kps[i, 0, :, 2] = 2.0  # all joints labeled + visible
+        valid[i, 0] = True
+    return imgs, boxes, kps, valid
+
+
+def _gt_dict(boxes, kps, valid):
+    images = [{"id": i, "width": SIZE, "height": SIZE} for i in range(B)]
+    anns = []
+    aid = 1
+    for i in range(B):
+        for k in range(boxes.shape[1]):
+            if not valid[i, k]:
+                continue
+            x, y, w, h = boxes[i, k]
+            anns.append(
+                {
+                    "id": aid,
+                    "image_id": i,
+                    "category_id": 1,
+                    "bbox": [float(x), float(y), float(w), float(h)],
+                    "area": float(w * h),
+                    "iscrowd": 0,
+                    "keypoints": [float(v) for v in kps[i, k].reshape(-1)],
+                    "num_keypoints": J,
+                }
+            )
+            aid += 1
+    return {
+        "images": images,
+        "annotations": anns,
+        "categories": [
+            {
+                "id": 1,
+                "name": "person",
+                "keypoints": [f"j{j}" for j in range(J)],
+            }
+        ],
+    }
+
+
+def _ap_fixed(task, variables, imgs, evaluators):
+    ims, metas = [], []
+    for i in range(B):
+        im, meta = task.prepare_image_fixed(imgs[i], SIZE)
+        ims.append(im)
+        metas.append(meta)
+    dets = task.predict_batch(variables, jnp.stack(ims), metas)
+    results = []
+    for i, d in enumerate(dets):
+        results.extend(task.to_coco_format(i, d))
+    return tuple(ev(results)["ap"] for ev in evaluators)
+
+
+def test_train_improves_pose_ap(monkeypatch):
+    monkeypatch.setenv("CENTERNET_TPU_DCN_RADIUS", "1")  # see module doc
+    from centernet_tpu.utils.coco_eval import CocoEvaluator
+
+    rng = np.random.RandomState(11)
+    imgs, boxes, kps, valid = _make_dataset(rng)
+    gt = _gt_dict(boxes, kps, valid)
+    ev_kp = CocoEvaluator(gt, "keypoints")
+    ev_bb = CocoEvaluator(gt, "bbox")
+
+    task = CenterNetMultiPose(
+        "resdcn_18", learning_rate=2e-3, test_scales=[1.0], test_flip=False
+    )
+    trainer = Trainer(task, mesh=make_mesh(n_data=1))
+    trainer.init_state(input_hw=(SIZE, SIZE))
+    trainer._compile_steps()
+
+    ap0_kp, ap0_bb = _ap_fixed(
+        task, trainer.state.variables(), imgs, (ev_kp, ev_bb)
+    )
+
+    norm = (imgs - np.array(task.mean, np.float32)) / np.array(
+        task.std, np.float32
+    )
+    target = {
+        "boxes": boxes,
+        "classes": np.zeros((B, 32), np.int32),
+        "keypoints_raw": kps,
+        "valid": valid,
+    }
+    batch = trainer._put_batch((norm, target))
+
+    state = trainer.state
+    for s in range(STEPS):
+        state, stats = trainer._train_step(state, batch)
+        if (s + 1) % 25 == 0:
+            assert np.isfinite(float(stats["loss"]))
+
+    assert float(stats["hm_loss"]) < 0.2, dict(
+        (k, float(v)) for k, v in stats.items()
+    )
+
+    ap_kp, ap_bb = _ap_fixed(task, state.variables(), imgs, (ev_kp, ev_bb))
+
+    # Untrained = sigmoid(-2.19) noise everywhere: AP ~ 0. Margins wide
+    # against flakiness; calibrated on the 1-core CI box.
+    assert ap_bb >= 0.5, (ap0_bb, ap_bb)
+    assert ap_kp >= 0.5, (ap0_kp, ap_kp)
+    assert ap_kp >= ap0_kp + 0.4, (ap0_kp, ap_kp)
