@@ -29,6 +29,9 @@ def add_trainer_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--precision", default="bf16", choices=["bf16", "f32"])
     parser.add_argument("--profile", action="store_true",
                         help="dump a jax.profiler trace of a few train steps")
+    parser.add_argument("--skip_test", action="store_true",
+                        help="skip the post-fit TTA test + COCO eval pass "
+                        "(train-only run; evaluate later via centernet-test)")
 
 
 def add_data_args(parser: argparse.ArgumentParser) -> None:

@@ -155,6 +155,9 @@ def cli_main(argv=None):
         else:
             trainer.fit(train_loader, val_loader, resume_from=args.resume_from)
 
+    if args.skip_test:
+        return trainer
+
     # TTA test + COCO eval (reference :412-418 uses the val set).
     test_ds = (
         (coco_val._load_image(img_id)[..., ::-1].astype(np.float32) / 255.0, img_id)

@@ -146,6 +146,9 @@ def cli_main(argv=None):
         else:
             trainer.fit(train_loader, val_loader, resume_from=args.resume_from)
 
+    if args.skip_test:
+        return trainer
+
     test_ds = (
         (coco_val._load_image(i)[..., ::-1].astype(np.float32) / 255.0, i)
         for i in coco_val.ids

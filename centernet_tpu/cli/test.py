@@ -42,6 +42,21 @@ def cli_test(argv=None):
     parser.add_argument("--flip", action="store_true")
     parser.add_argument("--multi_scale", action="store_true")
     parser.add_argument("--precision", default="bf16", choices=["bf16", "f32"])
+    parser.add_argument(
+        "--export_serving",
+        default=None,
+        metavar="PATH",
+        help="also write an AOT serving artifact (StableHLO, weights "
+        "baked) for the restored model — see utils/export.py",
+    )
+    parser.add_argument(
+        "--export_batch", type=int, default=8,
+        help="batch size baked into --export_serving",
+    )
+    parser.add_argument(
+        "--export_size", type=int, default=512,
+        help="input size baked into --export_serving",
+    )
     args = parser.parse_args(argv)
 
     from ..data.coco import CocoDetection
@@ -105,6 +120,18 @@ def cli_test(argv=None):
         from ..utils.checkpoint import restore_checkpoint
 
         trainer.state = restore_checkpoint(args.checkpoint, trainer.state)
+
+    if args.export_serving:
+        from ..utils.export import export_serving
+
+        export_serving(
+            task,
+            trainer.state.variables(),
+            args.export_serving,
+            input_size=args.export_size,
+            batch=args.export_batch,
+        )
+        print(f"[cli_test] serving artifact written to {args.export_serving}")
 
     prefix = ""
     if args.multi_scale:

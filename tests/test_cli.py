@@ -118,6 +118,53 @@ def test_detection_cli_end_to_end(tmp_path):
     )
 
 
+def test_eval_cli_end_to_end(tmp_path):
+    """cli/test.py: restore a CLI-written checkpoint WITHOUT --arch (the
+    .meta.json hparams reconstruct the task), run flip-TTA eval over the
+    mini val set, and write + reload an AOT serving artifact."""
+    from centernet_tpu.cli.detection import cli_main
+    from centernet_tpu.cli.test import cli_test
+
+    image_root, ann_root = _make_mini_coco(str(tmp_path))
+    cli_main(
+        [
+            image_root, ann_root,
+            "--arch", "res_18",
+            "--batch_size", "8",
+            "--num_workers", "2",
+            "--max_epochs", "1",
+            "--limit_train_batches", "1",
+            "--limit_val_batches", "1",
+            "--num_devices", "8",
+            "--input_size", "128",
+            "--precision", "f32",
+            "--skip_test",
+            "--default_root_dir", str(tmp_path / "runs"),
+        ]
+    )
+    ckpt = str(tmp_path / "runs" / "checkpoints" / "last")
+    export_path = str(tmp_path / "serving.hlo")
+
+    stats = cli_test(
+        [
+            "detection", image_root, ann_root,
+            "--checkpoint", ckpt,
+            "--flip",
+            "--precision", "f32",
+            "--export_serving", export_path,
+            "--export_size", "64",
+            "--export_batch", "1",
+        ]
+    )
+    assert "test/flip_ap" in stats, sorted(stats)
+
+    from centernet_tpu.utils.export import load_serving
+
+    served = load_serving(export_path)
+    out = served(np.zeros((1, 64, 64, 3), np.float32))
+    assert np.asarray(out).shape[0] == 1
+
+
 def test_multi_pose_cli_end_to_end(tmp_path):
     from centernet_tpu.cli.multi_pose import cli_main
 
