@@ -113,9 +113,12 @@ def main():
 
     # loader end to end (production pipeline), both worker modes
     ds = CocoFakeDataset(transforms=prod, length=args.n, size=args.size)
-    for mode in ("thread", "process"):
+    for mode in ("thread", "process", "shm"):
+        # shm needs fixed global batches (no partial tail)
+        drop_last = mode == "shm"
         loader = DataLoader(ds, batch_size=8, num_workers=args.workers,
-                            shuffle=False, drop_last=False, worker_mode=mode)
+                            shuffle=False, drop_last=drop_last,
+                            worker_mode=mode)
         n_img = 0
         t0 = time.perf_counter()
         for imgs, tgt in loader:

@@ -40,10 +40,13 @@ def add_data_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--num_workers", type=int, default=8)
     parser.add_argument(
-        "--worker_mode", default="thread", choices=["thread", "process"],
+        "--worker_mode", default="thread",
+        choices=["thread", "process", "shm"],
         help="loader workers: threads (GIL-serial write-backs cap one host "
-        "at ~170 samples/s) or forked worker processes (the reference's "
-        "num_workers=8 process workers)",
+        "at ~170 samples/s), forked worker processes (the reference's "
+        "num_workers=8 process workers), or processes + shared-memory "
+        "batch transport (workers write rows straight into /dev/shm batch "
+        "buffers; zero parent-side per-sample work)",
     )
     parser.add_argument(
         "--pretrained_weights_path",

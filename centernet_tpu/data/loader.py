@@ -14,6 +14,15 @@ Worker modes:
 * ``process`` — a forked worker-process pool (the reference's
   ``num_workers=8`` worker processes): sidesteps the GIL entirely; each
   worker must not touch JAX (the transform stack is cv2/numpy-only).
+* ``shm`` — process workers + shared-memory batch transport: each worker
+  writes its sample's arrays DIRECTLY into its row of a shared-memory
+  batch buffer (torch's DataLoader ships tensors through /dev/shm the
+  same way). ``process`` mode still pickles every ~3 MB augmented image
+  through a pipe and the parent unpickles + np.stack's them serially
+  (~2 copies + parent CPU per sample — the parent becomes the ceiling at
+  high rates); ``shm`` leaves the parent with zero per-sample work.
+  Requires fixed-shape samples (true for the train pipeline:
+  fixed-size images + PaddedAnnotationSample targets).
 """
 
 from __future__ import annotations
@@ -26,6 +35,7 @@ from typing import Any, Callable, Dict, Iterator, Optional, Sequence
 import numpy as np
 
 _WORKER_DATASET = None
+_WORKER_SLOTS = None  # shm mode: {slot: {field: ndarray view}} per worker
 
 
 def _worker_init(dataset):
@@ -41,6 +51,40 @@ def _worker_init(dataset):
 
 def _worker_get(i):
     return _WORKER_DATASET[i]
+
+
+def _worker_attach_slots(specs):
+    """shm mode: map every slot's shared-memory buffers once per worker.
+
+    ``specs`` is {slot_index: {field: (shm_name, shape, dtype_str)}}. The
+    SharedMemory handles are kept alive on the module global for the
+    worker's lifetime (closing them would invalidate the views)."""
+    global _WORKER_SLOTS
+    from multiprocessing import shared_memory
+
+    _WORKER_SLOTS = {}
+    for slot, fields in specs.items():
+        views = {}
+        for name, (shm_name, shape, dtype) in fields.items():
+            shm = shared_memory.SharedMemory(name=shm_name)
+            arr = np.ndarray(shape, dtype=np.dtype(dtype), buffer=shm.buf)
+            views[name] = (shm, arr)
+        _WORKER_SLOTS[slot] = views
+
+
+def _shm_worker_init(dataset, specs):
+    _worker_init(dataset)
+    _worker_attach_slots(specs)
+
+
+def _worker_fill_row(slot, row, idx):
+    """shm mode: compute sample ``idx`` and write it into batch ``slot``
+    at ``row``. Returns nothing — the arrays travel via /dev/shm."""
+    img, target = _WORKER_DATASET[idx]
+    views = _WORKER_SLOTS[slot]
+    views["__image__"][1][row] = np.asarray(img, np.float32)
+    for k, v in target.items():
+        views[k][1][row] = np.asarray(v)
 
 
 def default_collate(samples):
@@ -88,9 +132,16 @@ class DataLoader:
         self.collate_fn = collate_fn
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
-        if worker_mode not in ("thread", "process"):
+        if worker_mode not in ("thread", "process", "shm"):
             raise ValueError(f"unknown worker_mode {worker_mode!r}")
+        if worker_mode == "shm" and collate_fn is not default_collate:
+            raise ValueError(
+                "worker_mode='shm' writes rows straight into the batch "
+                "buffers (implicit default_collate stacking); a custom "
+                "collate_fn cannot apply"
+            )
         self.worker_mode = worker_mode
+        self._shm_slots = None  # parent-side [{field: (SharedMemory, view)}]
         if process_count is None:
             import jax
 
@@ -130,29 +181,85 @@ class DataLoader:
             # devices (make_mesh orders devices process-major)
             yield g[lo : lo + per] if self.process_count > 1 else g
 
+    def _make_shm_slots(self):
+        """Allocate ``prefetch + 3`` shared-memory batch buffers sized from
+        a probe sample. Slot lifecycle: a slot is reused ``prefetch + 3``
+        batches after it was yielded; by then the consumer has long
+        device_put the arrays (the trainer transfers each batch before
+        pulling the next), so the views it held are dead. Returns the
+        worker attach spec."""
+        from multiprocessing import shared_memory
+
+        img, target = self.dataset[0]
+        per = self.batch_size // self.process_count
+        fields = {"__image__": (np.asarray(img, np.float32).shape, "float32")}
+        for k, v in target.items():
+            v = np.asarray(v)
+            fields[k] = (v.shape, v.dtype.str)
+
+        n_slots = self.prefetch + 3
+        self._shm_slots = []
+        specs = {}
+        for slot in range(n_slots):
+            views = {}
+            spec = {}
+            for name, (shape, dtype) in fields.items():
+                full = (per,) + tuple(shape)
+                nbytes = int(np.prod(full)) * np.dtype(dtype).itemsize
+                shm = shared_memory.SharedMemory(create=True, size=nbytes)
+                views[name] = (
+                    shm,
+                    np.ndarray(full, dtype=np.dtype(dtype), buffer=shm.buf),
+                )
+                spec[name] = (shm.name, full, dtype)
+            self._shm_slots.append(views)
+            specs[slot] = spec
+        return specs
+
     def _get_pool(self):
         """Worker pool, created once and reused across epochs (forking a
         process pool per epoch multiplies the fork-after-JAX-init risk)."""
         pool = getattr(self, "_pool", None)
         if pool is not None:
             return pool
-        if self.worker_mode == "process":
+        if self.worker_mode in ("process", "shm"):
             import multiprocessing as mp
 
             ctx = mp.get_context("fork")
-            self._pool = ctx.Pool(
-                self.num_workers,
-                initializer=_worker_init,
-                initargs=(self.dataset,),
-            )
+            if self.worker_mode == "shm":
+                specs = self._make_shm_slots()
+                self._pool = ctx.Pool(
+                    self.num_workers,
+                    initializer=_shm_worker_init,
+                    initargs=(self.dataset, specs),
+                )
+            else:
+                self._pool = ctx.Pool(
+                    self.num_workers,
+                    initializer=_worker_init,
+                    initargs=(self.dataset,),
+                )
         else:
             self._pool = ThreadPoolExecutor(self.num_workers)
         return self._pool
 
     def __del__(self):
+        # tolerate a half-constructed instance (__init__ raised early)
         pool = getattr(self, "_pool", None)
-        if pool is not None and self.worker_mode == "process":
+        if pool is not None and getattr(self, "worker_mode", "") in (
+            "process", "shm",
+        ):
             pool.terminate()
+            pool.join()
+        if getattr(self, "_shm_slots", None):
+            for views in self._shm_slots:
+                for shm, _ in views.values():
+                    try:
+                        shm.close()
+                        shm.unlink()
+                    except FileNotFoundError:
+                        pass
+            self._shm_slots = None
 
     def __iter__(self) -> Iterator:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -160,6 +267,30 @@ class DataLoader:
 
         def produce():
             pool = self._get_pool()
+            if self.worker_mode == "shm":
+                n_slots = len(self._shm_slots)
+                for b, idxs in enumerate(self._batches()):
+                    if stop.is_set():
+                        break
+                    slot = b % n_slots
+                    results = [
+                        pool.apply_async(
+                            _worker_fill_row, (slot, row, int(i))
+                        )
+                        for row, i in enumerate(idxs)
+                    ]
+                    for r in results:
+                        r.get()
+                    views = self._shm_slots[slot]
+                    n = len(idxs)  # partial tail when drop_last=False
+                    imgs = views["__image__"][1][:n]
+                    target = {
+                        k: v[:n] for k, (_, v) in views.items()
+                        if k != "__image__"
+                    }
+                    q.put((imgs, target))
+                q.put(None)
+                return
             get = (
                 _worker_get
                 if self.worker_mode == "process"

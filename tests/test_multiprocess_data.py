@@ -112,6 +112,48 @@ def test_process_worker_mode():
         np.testing.assert_array_equal(x, y)
 
 
+def test_shm_worker_mode():
+    """Shared-memory transport: identical batches (images AND targets) to
+    the thread pool, across two epochs (slot-ring reuse), with the batch
+    copied out before the slot cycles (the documented consumer contract:
+    transfer/copy each batch before pulling prefetch+3 more)."""
+    ds = IntDataset(16)
+
+    def epoch(mode):
+        out = []
+        for img, t in DataLoader(
+            ds, batch_size=8, num_workers=2, worker_mode=mode,
+            process_index=0, process_count=1, prefetch=1,
+        ):
+            out.append((img.copy(), t["idx"].copy()))
+        return out
+
+    loader = DataLoader(
+        ds, batch_size=8, num_workers=2, worker_mode="shm",
+        process_index=0, process_count=1, prefetch=1,
+    )
+    for _ in range(2):  # two epochs reuse the same pool + slot ring
+        got = [(i.copy(), t["idx"].copy()) for i, t in loader]
+        ref = epoch("thread")
+        assert len(got) == len(ref) == 2
+        for (gi, gt), (ri, rt) in zip(got, ref):
+            np.testing.assert_array_equal(gi, ri)
+            np.testing.assert_array_equal(gt, rt)
+            assert gt.dtype == rt.dtype
+    del loader  # exercise shm unlink
+
+
+def test_shm_worker_mode_rejects_custom_collate():
+    import pytest
+
+    with pytest.raises(ValueError, match="collate_fn"):
+        DataLoader(
+            IntDataset(8), batch_size=8, worker_mode="shm",
+            process_index=0, process_count=1,
+            collate_fn=lambda s: s,
+        )
+
+
 def test_mesh_device_order_process_major():
     mesh = make_mesh()
     devs = list(mesh.devices.flat)
