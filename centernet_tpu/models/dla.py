@@ -306,4 +306,8 @@ class DLASeg(nn.Module):
             dtype=self.dtype,
             name="ida_up",
         )(y, train)
-        return [y[-1].astype(jnp.float32)]
+        # stay in the compute dtype: the heads run bf16 too and cast to f32
+        # only at their 1x1 outputs (heads.py) — an f32 feature here made
+        # the whole head stack (3x3 C64->head_conv at the finest scale) run
+        # f32 convs (caught by tests/test_bf16_discipline.py)
+        return [y[-1]]

@@ -169,7 +169,8 @@ class HourglassNet(nn.Module):
             cnv = HgConv(self.cnv_dim, 3, dtype=self.dtype, name=f"cnv_{ind}")(
                 kp, train
             )
-            outs.append(cnv.astype(jnp.float32))
+            # compute dtype out; heads cast to f32 at their outputs
+            outs.append(cnv)
 
             if ind < self.num_stacks - 1:
                 a = nn.Conv(

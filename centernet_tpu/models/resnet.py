@@ -158,4 +158,5 @@ class PoseResNet(nn.Module):
             x = ConvTransposeBNAct(
                 planes, dtype=self.dtype, name=f"deconv{i}"
             )(x, train)
-        return [x.astype(jnp.float32)]
+        # compute dtype out; heads cast to f32 at their outputs (heads.py)
+        return [x]

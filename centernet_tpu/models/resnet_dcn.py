@@ -42,4 +42,5 @@ class PoseResNetDCN(nn.Module):
                 name=f"up_bn{i}",
             )(x).astype(self.dtype)
             x = nn.relu(x)
-        return [x.astype(jnp.float32)]
+        # compute dtype out; heads cast to f32 at their outputs (heads.py)
+        return [x]

@@ -65,7 +65,10 @@ class CenterNetModel(nn.Module):
         outs = []
         for i, feat in enumerate(feats):
             outs.append(
-                CenterHead(self.heads, self.head_conv, name=f"head_{i}")(feat)
+                CenterHead(
+                    self.heads, self.head_conv, dtype=self.dtype,
+                    name=f"head_{i}",
+                )(feat)
             )
         return outs
 
