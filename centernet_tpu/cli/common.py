@@ -32,6 +32,16 @@ def add_trainer_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--skip_test", action="store_true",
                         help="skip the post-fit TTA test + COCO eval pass "
                         "(train-only run; evaluate later via centernet-test)")
+    # Lightning-parity knobs (the reference exposes every pl.Trainer flag
+    # via add_argparse_args, centernet_detection.py:282)
+    parser.add_argument("--gradient_clip_val", type=float, default=None,
+                        help="clip the global gradient norm before the "
+                        "optimizer (Lightning gradient_clip_val)")
+    parser.add_argument("--accumulate_grad_batches", type=int, default=1,
+                        help="scan K micro-batches per optimizer update "
+                        "inside the jitted step (Lightning "
+                        "accumulate_grad_batches); batch_size must divide "
+                        "by K*num_devices")
 
 
 def add_data_args(parser: argparse.ArgumentParser) -> None:

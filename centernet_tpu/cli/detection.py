@@ -122,6 +122,8 @@ def cli_main(argv=None):
             every_n_epochs=10,
         ),
         steps_per_epoch_hint=max(1, len(train_loader)),
+        gradient_clip_val=args.gradient_clip_val,
+        accumulate_grad_batches=args.accumulate_grad_batches,
     )
     trainer.init_state(input_hw=(args.input_size, args.input_size))
 

@@ -113,6 +113,8 @@ def cli_main(argv=None):
             dirpath=os.path.join(args.default_root_dir, "checkpoints"),
         ),
         steps_per_epoch_hint=max(1, len(train_loader)),
+        gradient_clip_val=args.gradient_clip_val,
+        accumulate_grad_batches=args.accumulate_grad_batches,
     )
     trainer.init_state(input_hw=(args.input_size, args.input_size))
 

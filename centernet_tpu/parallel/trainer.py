@@ -53,17 +53,21 @@ class TrainState(struct.PyTreeNode):
         return {"params": self.params, "batch_stats": self.batch_stats}
 
 
-def make_train_step(task, tx) -> Callable:
-    """Build the pure train step: (state, batch) -> (state, metrics)."""
+def make_train_step(task, tx, accumulate_grad_batches: int = 1) -> Callable:
+    """Build the pure train step: (state, batch) -> (state, metrics).
 
-    def train_step(state: TrainState, batch):
-        img, target = batch
-        # raw padded annotations are encoded on device (vectorized splats)
-        target = task.maybe_encode_targets(img.shape[1:3], target)
+    ``accumulate_grad_batches`` = K > 1 splits the batch's leading axis
+    into K sequential micro-batches inside the jitted step (``lax.scan``),
+    averages their grads, and applies ONE optimizer update — Lightning's
+    ``accumulate_grad_batches`` semantics (BN statistics advance per
+    micro-batch, the update sees the mean gradient). The batch leading
+    dim must divide by K; under a data-sharded mesh, the PER-DEVICE rows
+    must divide by K so each micro-batch keeps the same sharding."""
 
+    def grads_of(params, batch_stats, img, target):
         def loss_fn(params):
             outputs, mutated = task.model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": batch_stats},
                 img,
                 True,
                 mutable=["batch_stats"],
@@ -71,9 +75,42 @@ def make_train_step(task, tx) -> Callable:
             loss, stats = task.loss(outputs, target)
             return loss, (stats, mutated["batch_stats"])
 
-        grads, (stats, new_batch_stats) = jax.grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        return jax.grad(loss_fn, has_aux=True)(params)
+
+    def train_step(state: TrainState, batch):
+        img, target = batch
+        # raw padded annotations are encoded on device (vectorized splats)
+        target = task.maybe_encode_targets(img.shape[1:3], target)
+
+        if accumulate_grad_batches > 1:
+            k = accumulate_grad_batches
+
+            def split(x):
+                return x.reshape((k, x.shape[0] // k) + x.shape[1:])
+
+            micro = jax.tree_util.tree_map(split, (img, target))
+
+            def body(carry_bs, mb):
+                mi, mt = mb
+                grads, (stats, new_bs) = grads_of(
+                    state.params, carry_bs, mi, mt
+                )
+                return new_bs, (grads, stats)
+
+            new_batch_stats, (gstack, sstack) = jax.lax.scan(
+                body, state.batch_stats, micro
+            )
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.mean(g, axis=0), gstack
+            )
+            stats = jax.tree_util.tree_map(
+                lambda s: jnp.mean(s, axis=0), sstack
+            )
+        else:
+            grads, (stats, new_batch_stats) = grads_of(
+                state.params, state.batch_stats, img, target
+            )
+
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
@@ -157,6 +194,8 @@ class Trainer:
         steps_per_epoch_hint: int = 1,
         seed: int = 5318008,
         log_every_n_steps: int = 50,
+        gradient_clip_val: Optional[float] = None,
+        accumulate_grad_batches: int = 1,
     ):
         self.task = task
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -170,6 +209,17 @@ class Trainer:
 
         self.steps_per_epoch = max(1, steps_per_epoch_hint)
         self.tx = task.configure_optimizer(steps_per_epoch_hint)
+        # Lightning-parity knobs the reference exposes through
+        # pl.Trainer.add_argparse_args (centernet_detection.py:282):
+        # gradient_clip_val clips the GLOBAL grad norm before the optimizer
+        # (Lightning's default algorithm='norm'); accumulate_grad_batches
+        # scans K micro-batches inside the jitted step and applies ONE
+        # optimizer update on the averaged grads.
+        if gradient_clip_val:
+            self.tx = optax.chain(
+                optax.clip_by_global_norm(float(gradient_clip_val)), self.tx
+            )
+        self.accumulate_grad_batches = max(1, int(accumulate_grad_batches))
         self._train_step = None
         self._eval_step = None
         self.state: Optional[TrainState] = None
@@ -190,7 +240,10 @@ class Trainer:
         rep = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
         if self._train_step is None:
-            step = make_train_step(self.task, self.tx)
+            step = make_train_step(
+                self.task, self.tx,
+                accumulate_grad_batches=self.accumulate_grad_batches,
+            )
             self._train_step = jax.jit(
                 step,
                 in_shardings=(rep, data),
