@@ -86,7 +86,15 @@ def make_train_step(task, tx, accumulate_grad_batches: int = 1) -> Callable:
             k = accumulate_grad_batches
 
             def split(x):
-                return x.reshape((k, x.shape[0] // k) + x.shape[1:])
+                # STRIDED assignment (micro j = rows j, j+K, ...): under a
+                # data-sharded batch every device contributes rows to every
+                # micro-batch, so each scan step keeps the same sharding
+                # with no cross-device resharding. A contiguous K-chunk
+                # split would put micro 0 entirely on the first devices and
+                # force an all-to-all per micro step. Row->micro assignment
+                # is semantically arbitrary (the batch is unordered).
+                y = x.reshape((x.shape[0] // k, k) + x.shape[1:])
+                return jnp.moveaxis(y, 1, 0)
 
             micro = jax.tree_util.tree_map(split, (img, target))
 
