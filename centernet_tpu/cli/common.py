@@ -38,10 +38,13 @@ def add_trainer_args(parser: argparse.ArgumentParser) -> None:
                         help="clip the global gradient norm before the "
                         "optimizer (Lightning gradient_clip_val)")
     parser.add_argument("--accumulate_grad_batches", type=int, default=1,
-                        help="scan K micro-batches per optimizer update "
-                        "inside the jitted step (Lightning "
-                        "accumulate_grad_batches); batch_size must divide "
-                        "by K*num_devices")
+                        help="micro-batch the (effective) --batch_size "
+                        "through memory as K sequential micro-batches per "
+                        "optimizer update. NOTE: unlike Lightning, K does "
+                        "not multiply the effective batch — to match a "
+                        "Lightning config (batch B, accumulate K) use "
+                        "--batch_size K*B with this flag = K. batch_size "
+                        "must divide by K*num_devices")
 
 
 def add_data_args(parser: argparse.ArgumentParser) -> None:

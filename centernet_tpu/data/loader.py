@@ -87,6 +87,13 @@ def _worker_fill_row(slot, row, idx):
         views[k][1][row] = np.asarray(v)
 
 
+class _ProducerError:
+    """Envelope relaying a producer-thread exception to the consumer."""
+
+    def __init__(self, exc):
+        self.exc = exc
+
+
 def default_collate(samples):
     """Stack (img, target_dict) samples into batched numpy arrays."""
     imgs = np.stack([np.asarray(s[0], np.float32) for s in samples])
@@ -262,45 +269,56 @@ class DataLoader:
             self._shm_slots = None
 
     def __iter__(self) -> Iterator:
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        # maxsize must stay BOUNDED: shm mode's slot-ring safety argument
+        # (a slot is reused prefetch+3 batches later) assumes at most
+        # `prefetch` batches can sit in the queue — queue.Queue(0) is
+        # UNBOUNDED and would let the producer lap the ring while live
+        # views are still queued (silent batch corruption).
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch))
         stop = threading.Event()
 
         def produce():
-            pool = self._get_pool()
-            if self.worker_mode == "shm":
-                n_slots = len(self._shm_slots)
-                for b, idxs in enumerate(self._batches()):
-                    if stop.is_set():
-                        break
-                    slot = b % n_slots
-                    results = [
-                        pool.apply_async(
-                            _worker_fill_row, (slot, row, int(i))
-                        )
-                        for row, i in enumerate(idxs)
-                    ]
-                    for r in results:
-                        r.get()
-                    views = self._shm_slots[slot]
-                    n = len(idxs)  # partial tail when drop_last=False
-                    imgs = views["__image__"][1][:n]
-                    target = {
-                        k: v[:n] for k, (_, v) in views.items()
-                        if k != "__image__"
-                    }
-                    q.put((imgs, target))
-                q.put(None)
+            # Any worker/collate exception must reach the CONSUMER: a dead
+            # producer thread that never enqueues its sentinel would leave
+            # the training loop blocked in q.get() forever.
+            try:
+                pool = self._get_pool()
+                if self.worker_mode == "shm":
+                    n_slots = len(self._shm_slots)
+                    for b, idxs in enumerate(self._batches()):
+                        if stop.is_set():
+                            break
+                        slot = b % n_slots
+                        results = [
+                            pool.apply_async(
+                                _worker_fill_row, (slot, row, int(i))
+                            )
+                            for row, i in enumerate(idxs)
+                        ]
+                        for r in results:
+                            r.get()
+                        views = self._shm_slots[slot]
+                        n = len(idxs)  # partial tail when drop_last=False
+                        imgs = views["__image__"][1][:n]
+                        target = {
+                            k: v[:n] for k, (_, v) in views.items()
+                            if k != "__image__"
+                        }
+                        q.put((imgs, target))
+                else:
+                    get = (
+                        _worker_get
+                        if self.worker_mode == "process"
+                        else self.dataset.__getitem__
+                    )
+                    for idxs in self._batches():
+                        if stop.is_set():
+                            break
+                        samples = list(pool.map(get, [int(i) for i in idxs]))
+                        q.put(self.collate_fn(samples))
+            except BaseException as e:  # noqa: BLE001 — relayed to consumer
+                q.put(_ProducerError(e))
                 return
-            get = (
-                _worker_get
-                if self.worker_mode == "process"
-                else self.dataset.__getitem__
-            )
-            for idxs in self._batches():
-                if stop.is_set():
-                    break
-                samples = list(pool.map(get, [int(i) for i in idxs]))
-                q.put(self.collate_fn(samples))
             q.put(None)
 
         thread = threading.Thread(target=produce, daemon=True)
@@ -310,6 +328,10 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, _ProducerError):
+                    raise RuntimeError(
+                        "DataLoader worker/collate failed"
+                    ) from item.exc
                 yield item
         finally:
             stop.set()

@@ -96,18 +96,17 @@ _GATHER_DNUMS = jax.lax.GatherDimensionNumbers(
 )
 
 
-def _sample_one_tap(xpad, py, px, h, w, dtype):
-    """Bilinear-sample one tap: positions [B, Ho, Wo] -> values [B, Ho, Wo, Ci].
-
-    ``xpad`` is the input zero-padded by ONE pixel top/left and TWO
-    bottom/right, so the 2x2 corner block keeps its (y0, y0+1) row alignment
-    for every y0 in [-1, h-1]; outside that range both corners are
-    out-of-image and their weights are already zero, so the clamped block
-    content is irrelevant.
-    """
-    b, ho, wo = py.shape
-    ci = xpad.shape[-1]
-
+def _bilinear_corners(py, px, h, w, dtype):
+    """Shared bilinear-corner machinery for the gather paths: positions ->
+    ([..., 4] corner weights in order (00, 01, 10, 11) with zero-outside
+    masking, [..., ] y0/x0 int32 start coords into the (1, 2)-padded
+    array). The +1 maps image coords into the padded array; the clamp to
+    [-1, h-1] keeps the 2x2 block row-aligned wherever any corner can be
+    valid (outside that range both corners carry zero weight, so the
+    clamped block content is irrelevant). Single source of truth for
+    ``_sample_one_tap`` (scan/unroll) and the fused all-tap path —
+    changing the sampling convention in one place keeps every tap_mode in
+    agreement (they are parity-gated in test_dcn_banded.py)."""
     y0f = jnp.floor(py)
     x0f = jnp.floor(px)
     wy1 = py - y0f
@@ -118,28 +117,31 @@ def _sample_one_tap(xpad, py, px, h, w, dtype):
     def _inb(yc, xc):
         return ((yc >= 0) & (yc < h) & (xc >= 0) & (xc < w)).astype(dtype)
 
-    # [B, Ho, Wo, 2, 2] corner weights with zero-outside masking.
     cw = jnp.stack(
         [
-            jnp.stack(
-                [wy0 * wx0 * _inb(y0f, x0f), wy0 * wx1 * _inb(y0f, x0f + 1)],
-                axis=-1,
-            ),
-            jnp.stack(
-                [
-                    wy1 * wx0 * _inb(y0f + 1, x0f),
-                    wy1 * wx1 * _inb(y0f + 1, x0f + 1),
-                ],
-                axis=-1,
-            ),
+            wy0 * wx0 * _inb(y0f, x0f),
+            wy0 * wx1 * _inb(y0f, x0f + 1),
+            wy1 * wx0 * _inb(y0f + 1, x0f),
+            wy1 * wx1 * _inb(y0f + 1, x0f + 1),
         ],
-        axis=-2,
+        axis=-1,
     ).astype(dtype)
-
-    # +1 maps image coords into the padded array; clamp keeps block-row
-    # alignment wherever any corner can be valid.
     y0 = (jnp.clip(y0f, -1, h - 1) + 1).astype(jnp.int32)
     x0 = (jnp.clip(x0f, -1, w - 1) + 1).astype(jnp.int32)
+    return cw, y0, x0
+
+
+def _sample_one_tap(xpad, py, px, h, w, dtype):
+    """Bilinear-sample one tap: positions [B, Ho, Wo] -> values [B, Ho, Wo, Ci].
+
+    ``xpad`` is the input zero-padded by ONE pixel top/left and TWO
+    bottom/right — see ``_bilinear_corners`` for the alignment contract.
+    """
+    b, ho, wo = py.shape
+    ci = xpad.shape[-1]
+
+    cw4, y0, x0 = _bilinear_corners(py, px, h, w, dtype)
+    cw = cw4.reshape(b, ho, wo, 2, 2)
     starts = jnp.stack([y0, x0], axis=-1).reshape(b, ho * wo, 2)
 
     def gather_one(xp, st):
@@ -743,31 +745,9 @@ def dcn_v2(
     mask_t = jnp.moveaxis(mask, 3, 0)  # [KK, B, Ho, Wo]
 
     if tap_mode == "fused":
-        y0f = jnp.floor(py)  # [KK, B, Ho, Wo]
-        x0f = jnp.floor(px)
-        wy1 = py - y0f
-        wx1 = px - x0f
-        wy0 = 1.0 - wy1
-        wx0 = 1.0 - wx1
-
-        def _inb(yc, xc):
-            return (
-                (yc >= 0) & (yc < h) & (xc >= 0) & (xc < w)
-            ).astype(x.dtype)
-
-        # [KK, B, Ho, Wo, 4] corner weights (00, 01, 10, 11)
-        cw = jnp.stack(
-            [
-                wy0 * wx0 * _inb(y0f, x0f),
-                wy0 * wx1 * _inb(y0f, x0f + 1),
-                wy1 * wx0 * _inb(y0f + 1, x0f),
-                wy1 * wx1 * _inb(y0f + 1, x0f + 1),
-            ],
-            axis=-1,
-        ).astype(x.dtype)
-
-        y0 = (jnp.clip(y0f, -1, h - 1) + 1).astype(jnp.int32)
-        x0 = (jnp.clip(x0f, -1, w - 1) + 1).astype(jnp.int32)
+        # [KK, B, Ho, Wo, 4] corner weights + padded start coords — the
+        # same machinery _sample_one_tap uses, batched over all taps
+        cw, y0, x0 = _bilinear_corners(py, px, h, w, x.dtype)
         starts = jnp.stack([y0, x0], axis=-1)  # [KK, B, Ho, Wo, 2]
         starts = jnp.moveaxis(starts, 1, 0).reshape(b, kk * ho * wo, 2)
 

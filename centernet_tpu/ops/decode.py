@@ -56,12 +56,19 @@ def _top_k(x, k: int):
     [80, 16384] row-batch, k=100). Tie ORDER may differ from lax.top_k's
     — the reference's torch.topk tie order is equally unspecified, so the
     semantic contract (top-k by score) is preserved.
+
+    ``lax.platform_dependent`` branches at LOWERING time (per platform),
+    not at trace time: an artifact exported from a CPU host for
+    platforms=['tpu'] still gets the PartialReduce path, and a
+    multi-platform export carries both branches.
     """
-    if jax.default_backend() == "tpu":
-        return jax.lax.approx_max_k(
+    return jax.lax.platform_dependent(
+        x,
+        tpu=lambda x: jax.lax.approx_max_k(
             x, k, recall_target=1.0, aggregate_to_topk=True
-        )
-    return jax.lax.top_k(x, k)
+        ),
+        default=lambda x: jax.lax.top_k(x, k),
+    )
 
 
 def topk(scores, k: int = 40):

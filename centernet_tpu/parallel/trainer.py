@@ -53,16 +53,39 @@ class TrainState(struct.PyTreeNode):
         return {"params": self.params, "batch_stats": self.batch_stats}
 
 
+def _with_global_norm_clip(tx, max_norm: float):
+    """Clip the global grad norm before ``tx`` WITHOUT changing the
+    opt_state pytree (unlike ``optax.chain``, which adds a tuple level):
+    checkpoints stay restorable across toggling the clip setting."""
+    clip = optax.clip_by_global_norm(max_norm)
+
+    def update(grads, state, params=None):
+        grads, _ = clip.update(grads, optax.EmptyState(), params)
+        return tx.update(grads, state, params)
+
+    return optax.GradientTransformation(tx.init, update)
+
+
 def make_train_step(task, tx, accumulate_grad_batches: int = 1) -> Callable:
     """Build the pure train step: (state, batch) -> (state, metrics).
 
     ``accumulate_grad_batches`` = K > 1 splits the batch's leading axis
     into K sequential micro-batches inside the jitted step (``lax.scan``),
-    averages their grads, and applies ONE optimizer update — Lightning's
-    ``accumulate_grad_batches`` semantics (BN statistics advance per
-    micro-batch, the update sees the mean gradient). The batch leading
-    dim must divide by K; under a data-sharded mesh, the PER-DEVICE rows
-    must divide by K so each micro-batch keeps the same sharding."""
+    averages their grads, and applies ONE optimizer update (BN statistics
+    advance per micro-batch, the update sees the mean gradient).
+
+    NOTE the parameterization difference vs Lightning: Lightning
+    accumulates K LOADER batches per update (effective batch = K *
+    batch_size); here the LOADER batch is the effective batch and K only
+    controls how it is micro-batched through memory. To reproduce a
+    Lightning config (batch_size=B, accumulate_grad_batches=K), set
+    batch_size = K*B with accumulate_grad_batches = K — the resulting
+    computation (K sequential micro-batches of B, one update on the mean
+    gradient, per-micro-batch BN) is identical.
+
+    The batch leading dim must divide by K; under a data-sharded mesh,
+    the PER-DEVICE rows must divide by K so each micro-batch keeps the
+    same sharding."""
 
     def grads_of(params, batch_stats, img, target):
         def loss_fn(params):
@@ -84,6 +107,12 @@ def make_train_step(task, tx, accumulate_grad_batches: int = 1) -> Callable:
 
         if accumulate_grad_batches > 1:
             k = accumulate_grad_batches
+            if img.shape[0] % k:
+                raise ValueError(
+                    f"batch size {img.shape[0]} must divide by "
+                    f"accumulate_grad_batches={k} (and per-device rows "
+                    f"must divide by it to keep the data sharding)"
+                )
 
             def split(x):
                 # STRIDED assignment (micro j = rows j, j+K, ...): under a
@@ -223,9 +252,14 @@ class Trainer:
         # (Lightning's default algorithm='norm'); accumulate_grad_batches
         # scans K micro-batches inside the jitted step and applies ONE
         # optimizer update on the averaged grads.
+        # Clipping wraps tx.update but keeps the INNER opt_state as the
+        # state (optax.chain would add a tuple level), so the pytree
+        # structure is identical with or without the flag — checkpoints
+        # restore across a clip-setting change and across this feature's
+        # introduction (clip_by_global_norm is stateless anyway).
         if gradient_clip_val:
-            self.tx = optax.chain(
-                optax.clip_by_global_norm(float(gradient_clip_val)), self.tx
+            self.tx = _with_global_norm_clip(
+                self.tx, float(gradient_clip_val)
             )
         self.accumulate_grad_batches = max(1, int(accumulate_grad_batches))
         self._train_step = None

@@ -229,28 +229,8 @@ class CenterNetDetection(CenterNet):
         return results
 
     # -- batched fixed-shape serving path -----------------------------------------
-
-    def prepare_image_fixed(self, img_hwc: np.ndarray, size: int = 512):
-        """Resize longest side to ``size`` and center-pad to ``size`` x
-        ``size`` (the reference's validation geometry) — every image lands on
-        the same shape so inference batches.
-
-        Returns (image [size, size, 3] normalized, meta for undoing)."""
-        h, w = img_hwc.shape[:2]
-        scale = size / max(h, w)
-        new_h, new_w = round(h * scale), round(w * scale)
-        img = jax.image.resize(
-            jnp.asarray(img_hwc, jnp.float32), (new_h, new_w, 3), "bilinear"
-        )
-        pad_t = (size - new_h) // 2
-        pad_l = (size - new_w) // 2
-        img = jnp.pad(
-            img, ((pad_t, size - new_h - pad_t), (pad_l, size - new_w - pad_l),
-                  (0, 0))
-        )
-        img = (img - jnp.asarray(self.mean)) / jnp.asarray(self.std)
-        meta = {"scale": [new_w / w, new_h / h], "padding": [pad_l, pad_t]}
-        return img, meta
+    # (prepare_image_fixed geometry lives on the CenterNet base — shared
+    # with the multi-pose task)
 
     def predict_batch(
         self, variables, images: "jnp.ndarray", metas: List[dict]

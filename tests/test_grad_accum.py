@@ -129,3 +129,17 @@ def test_gradient_clip_val_limits_update(monkeypatch):
     clipped = step_norm(1e-3)
     free = step_norm(None)
     assert clipped < free / 5, (clipped, free)
+
+
+def test_clip_setting_keeps_opt_state_structure():
+    """Toggling gradient_clip_val must not change the opt_state pytree —
+    otherwise a checkpoint saved without clipping cannot resume with it
+    (and vice versa)."""
+    task, variables, _ = _task_and_batch()
+    tr_off = Trainer(task, mesh=make_mesh(n_data=1))
+    tr_on = Trainer(task, mesh=make_mesh(n_data=1), gradient_clip_val=35.0)
+    s_off = TrainState.create(variables, tr_off.tx)
+    s_on = TrainState.create(variables, tr_on.tx)
+    assert jax.tree_util.tree_structure(
+        s_off.opt_state
+    ) == jax.tree_util.tree_structure(s_on.opt_state)

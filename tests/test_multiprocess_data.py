@@ -143,6 +143,28 @@ def test_shm_worker_mode():
     del loader  # exercise shm unlink
 
 
+def test_worker_exception_reaches_consumer():
+    """A failing sample must RAISE in the consuming loop (not deadlock the
+    q.get() after the producer thread dies without its sentinel) — in
+    every worker mode."""
+    import pytest
+
+    class Bad(IntDataset):
+        def __getitem__(self, i):
+            if i == 3:
+                raise ValueError("boom sample")
+            return super().__getitem__(i)
+
+    for mode in ("thread", "process", "shm"):
+        loader = DataLoader(
+            Bad(8), batch_size=4, num_workers=2, worker_mode=mode,
+            process_index=0, process_count=1,
+        )
+        with pytest.raises(RuntimeError, match="worker/collate failed"):
+            for _ in loader:
+                pass
+
+
 def test_shm_worker_mode_rejects_custom_collate():
     import pytest
 
