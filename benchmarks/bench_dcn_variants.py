@@ -459,6 +459,9 @@ def main():
         "banded": functools.partial(
             banded_deform_conv, radius=r, unroll_taps=True
         ),
+        "banded_acc": functools.partial(
+            banded_deform_conv, radius=r, unroll_taps=True, acc32=False
+        ),
         "banded_f": functools.partial(
             banded_v3, radius=r, stack_dy=True, chunk=0
         ),

@@ -409,6 +409,7 @@ def banded_deform_conv(
     dilation: int = 1,
     radius: int = 4,
     unroll_taps: bool = False,
+    acc32: bool = True,
 ) -> jax.Array:
     """Banded-matmul modulated deformable conv — MXU fast path (pure XLA).
 
@@ -430,6 +431,12 @@ def banded_deform_conv(
     fx/wy factors carry exactly the bilinear derivative) — wrap in
     ``jax.checkpoint`` for training so the one-hot tensors are recomputed
     rather than saved.
+
+    ``acc32=False`` accumulates the selection einsums and the row-shift sum
+    in the compute dtype instead of f32 (halves t_dy write/read traffic when
+    the epilogue FMA chain doesn't fuse; ~2^-8 relative rounding on the
+    2-term bilinear sums). The final tap->output matmul always accumulates
+    f32. Env: ``CENTERNET_TPU_DCN_ACC=bf16`` flips it model-wide.
 
     Measured (v5e, B8 512^2-scale dominant layer, bf16): see BENCHMARKS.md.
     """
@@ -473,6 +480,8 @@ def banded_deform_conv(
     kys = (jnp.arange(kk) // kernel_size) * dilation - padding
     kxs = (jnp.arange(kk) % kernel_size) * dilation - padding
 
+    acc_dt = jnp.float32 if acc32 else dt
+
     def tap_body(acc, xs):
         ky, kx, off_k, m_k, w_k = xs
         oy = off_k[..., 0]
@@ -499,20 +508,20 @@ def banded_deform_conv(
         # dy unrolled inside the single scanned tap body: one 10-einsum
         # body compiles fast AND lets XLA fuse/overlap across row shifts
         # (a nested dy-scan measured ~3x slower at runtime).
-        col = jnp.zeros((b, h, w, ci), jnp.float32)
+        col = jnp.zeros((b, h, w, ci), acc_dt)
         for dy in range(span):
             xrows = jax.lax.dynamic_index_in_dim(
                 xrows_all, base + dy, axis=0, keepdims=False
             )
             t_dy = jnp.einsum(
                 "bhwq,bhqc->bhwc", mx, xrows,
-                preferred_element_type=jnp.float32, precision=prec,
+                preferred_element_type=acc_dt, precision=prec,
             )
             s_rel = float(dy - r)
             wy = (
                 jnp.where(oyf == s_rel, 1.0 - fy, 0.0)
                 + jnp.where(oyf == s_rel - 1.0, fy, 0.0)
-            )
+            ).astype(acc_dt)
             col = col + wy[..., None] * t_dy
         colm = (col * m_k[..., None]).astype(dt)
         term = jnp.einsum(
@@ -951,6 +960,10 @@ class DCN(nn.Module):
                 dilation=self.dilation,
                 radius=radius,
                 unroll_taps=not train,
+                # bf16 accumulation of the selection einsums (measured
+                # experiment knob; default keeps f32 accumulation)
+                acc32=os.environ.get("CENTERNET_TPU_DCN_ACC", "f32")
+                != "bf16",
             )
             if train:
                 # CENTERNET_TPU_DCN_REMAT: full (default) recomputes the

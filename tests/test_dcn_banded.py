@@ -39,6 +39,33 @@ def test_banded_forward_matches_stencil(radius, unroll):
     np.testing.assert_allclose(got, ref, atol=1e-5 * scale, rtol=1e-5)
 
 
+def test_banded_acc_dtype_knob():
+    """acc32=False (CENTERNET_TPU_DCN_ACC=bf16) changes only the
+    accumulation dtype of the selection einsums: bit-identical for f32
+    inputs (acc dtype == compute dtype either way) and within bf16
+    rounding (~2^-8 rel) of the f32-accumulated form for bf16 inputs."""
+    a = _args(seed=5)
+    ref = np.array(banded_deform_conv(*a, 3, 1, 1, 1, 4, unroll_taps=True))
+    got = np.array(
+        banded_deform_conv(*a, 3, 1, 1, 1, 4, unroll_taps=True, acc32=False)
+    )
+    np.testing.assert_array_equal(got, ref)
+
+    ab = (a[0].astype(jnp.bfloat16), a[1], a[2],
+          a[3].astype(jnp.bfloat16), a[4])
+    refb = np.array(
+        banded_deform_conv(*ab, 3, 1, 1, 1, 4, unroll_taps=True),
+        np.float32,
+    )
+    gotb = np.array(
+        banded_deform_conv(*ab, 3, 1, 1, 1, 4, unroll_taps=True,
+                           acc32=False),
+        np.float32,
+    )
+    scale = np.abs(refb).max()
+    np.testing.assert_allclose(gotb, refb, atol=1.5e-2 * scale)
+
+
 @pytest.mark.parametrize("tap_mode", ["unroll", "fused"])
 def test_dcn_v2_tap_modes_match_scan(tap_mode):
     """The unrolled / single-fused-gather tap modes of the exact gather
