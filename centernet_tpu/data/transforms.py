@@ -45,11 +45,36 @@ NUM_JOINTS = 17
 
 _RNG = np.random.RandomState(107734)
 
+# Pre-generated Gaussian noise pool for AdditiveGaussianNoise-style
+# augmentation. Drawing ~790k fresh normals per 512^2 sample costs
+# ~22 ms/sample on one core — 70% of the whole host augmentation budget
+# (BENCHMARKS.md round-3 input-pipeline study). Per sample we instead take
+# a random-offset contiguous window of a fixed 8M-element N(0,1) pool and
+# scale it by the per-sample sigma: the marginal distribution is identical,
+# windows overlap only with random shifts (harmless for augmentation), and
+# the cost drops to one vectorized multiply-add.
+# CENTERNET_TPU_EXACT_NOISE=1 restores per-sample generator draws.
+_NOISE_POOL: Optional[np.ndarray] = None
+_NOISE_POOL_SIZE = 1 << 23  # 8M f32 (32 MB), >= per-channel 1638^2 draws
+
+
+def _noise_pool() -> np.ndarray:
+    global _NOISE_POOL
+    if _NOISE_POOL is None:
+        gen = np.random.Generator(
+            np.random.SFC64(int(_RNG.randint(0, 2**31)))
+        )
+        _NOISE_POOL = gen.standard_normal(
+            _NOISE_POOL_SIZE, dtype=np.float32
+        )
+    return _NOISE_POOL
+
 
 def seed(value: int) -> None:
     """Seed the augmentation RNG (parallel to ``ia.seed``)."""
-    global _RNG
+    global _RNG, _NOISE_POOL
     _RNG = np.random.RandomState(value)
+    _NOISE_POOL = None  # regenerate from the new seed on next use
 
 
 # --------------------------------------------------------------------------
@@ -178,19 +203,32 @@ class AffineAugmenter:
             alpha = rng.uniform(*self.contrast)
             img = 127.5 + alpha * (img - 127.5)
         if self.noise_scale is not None:
+            import os
+
             scale = rng.uniform(*self.noise_scale)
-            if rng.rand() < self.noise_per_channel_prob:
-                noise = rng.randn(*img.shape) * scale
+            per_channel = rng.rand() < self.noise_per_channel_prob
+            shape = img.shape if per_channel else (*img.shape[:2], 1)
+            n = int(np.prod(shape))
+            if (
+                os.environ.get("CENTERNET_TPU_EXACT_NOISE") == "1"
+                or n > _NOISE_POOL_SIZE
+            ):
+                noise = rng.randn(*shape).astype(np.float32)
             else:
-                noise = rng.randn(*img.shape[:2], 1) * scale
-            img = img + noise.astype(np.float32)
+                pool = _noise_pool()
+                start = rng.randint(0, pool.size - n + 1)
+                noise = pool[start:start + n].reshape(shape)
+            if scale > 1e-6:
+                img = img + noise * np.float32(scale)
         if self.multiply is not None:
             if rng.rand() < self.multiply_per_channel_prob:
                 m = rng.uniform(self.multiply[0], self.multiply[1], size=(1, 1, 3))
             else:
                 m = rng.uniform(*self.multiply)
             img = img * np.float32(m)
-        return np.clip(img, 0, 255).astype(np.uint8)
+        # round-half-up before the uint8 cast (imgaug rounds on dtype
+        # restore; a bare astype truncates and darkens by ~0.5/op)
+        return (np.clip(img, 0, 255) + np.float32(0.5)).astype(np.uint8)
 
     # geometric -----------------------------------------------------------
 
