@@ -30,7 +30,6 @@ RGB->BGR at transforms/image.py:18 and uses BGR channel means).
 
 from __future__ import annotations
 
-import copy
 import math
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -489,7 +488,10 @@ class PoseFlip:
             return img, target
         img = np.ascontiguousarray(img[:, ::-1])
         width = img.shape[1]
-        target = copy.deepcopy(target)
+        # shallow per-dict copy: every write below ASSIGNS a fresh value
+        # (never mutates a nested list/array in place), and a deepcopy of
+        # real COCO anns pays for their segmentation polygons every sample
+        target = [dict(a) for a in target]
         for ann in target:
             bbox = list(ann["bbox"])
             bbox[0] = width - bbox[0] - bbox[2] - 1
@@ -511,11 +513,21 @@ class Normalize:
     def __init__(self, mean=None, std=None):
         self.mean = np.asarray(mean, np.float32) if mean is not None else None
         self.std = np.asarray(std, np.float32) if std is not None else None
+        # fused form: (x/255 - mean)/std == x * scale + bias, applied
+        # in-place on the freshly-allocated f32 copy (the naive chain costs
+        # 4 full-image passes + temporaries, ~4.7 ms/sample at 512^2)
+        if self.mean is not None:
+            self._scale = (1.0 / (255.0 * self.std)).astype(np.float32)
+            self._bias = (-self.mean / self.std).astype(np.float32)
+        else:
+            self._scale = np.float32(1.0 / 255.0)
+            self._bias = None
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
-        img = img.astype(np.float32) / 255.0
-        if self.mean is not None:
-            img = (img - self.mean) / self.std
+        img = img.astype(np.float32)
+        img *= self._scale
+        if self._bias is not None:
+            img += self._bias
         return img
 
 
@@ -538,9 +550,15 @@ class ImageAugmentation:
         img = np.asarray(img)
         if img.ndim == 2:
             img = np.stack([img] * 3, axis=-1)
-        img = img[..., ::-1]  # RGB -> BGR (reference transforms/image.py:18)
-        img = np.ascontiguousarray(img)
-        target = copy.deepcopy(target)
+        # RGB -> BGR (reference transforms/image.py:18); cvtColor writes the
+        # contiguous swapped copy directly (the [..., ::-1] view +
+        # ascontiguousarray pair costs ~2.4 ms/sample at 512^2)
+        if cv2 is not None and img.dtype == np.uint8:
+            img = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+        else:
+            img = np.ascontiguousarray(img[..., ::-1])
+        # shallow per-dict copy (see PoseFlip): all writes assign new values
+        target = [dict(a) for a in target]
 
         boxes = np.array(
             [
@@ -577,16 +595,16 @@ class ImageAugmentation:
         offset = 0
         for owner in kp_owner:
             ann = target[owner]
-            pts = np.array(ann["keypoints"], np.float32).reshape(self.num_joints, 3)
+            pts = np.array(ann["keypoints"], np.float64).reshape(self.num_joints, 3)
             new = kps[offset : offset + self.num_joints]
             offset += self.num_joints
-            out = []
-            for j in range(self.num_joints):
-                if int(pts[j, 2]) == 0:
-                    out.extend([0.0, 0.0, 0.0])
-                else:
-                    out.extend([float(new[j, 0]), float(new[j, 1]), float(pts[j, 2])])
-            ann["keypoints"] = out
+            vis = pts[:, 2:3]
+            res = np.where(
+                vis == 0.0,
+                0.0,
+                np.concatenate([np.asarray(new, np.float64), vis], axis=1),
+            )
+            ann["keypoints"] = res.reshape(-1).tolist()
 
         if self.img_transforms is not None:
             img = self.img_transforms(img)

@@ -109,3 +109,24 @@ def test_train_augmenter_runs_and_keeps_shapes():
     for ann in out_anns:
         assert len(ann["bbox"]) == 4
         assert len(ann["keypoints"]) == 51
+
+
+def test_transforms_do_not_mutate_input_target():
+    """ImageAugmentation / PoseFlip copy the annotation dicts SHALLOWLY
+    (deepcopy of real COCO anns pays for segmentation polygons every
+    sample) — which is only sound while every write assigns a fresh value.
+    Guard the contract: the caller's dicts and their nested values must
+    come back bit-identical."""
+    import copy
+
+    T.seed(3)
+    img = (255 * np.random.rand(480, 640, 3)).astype(np.uint8)
+    anns = _load_anns()
+    for a in anns:
+        a["segmentation"] = [[1.0, 2.0, 3.0, 4.0, 5.0, 6.0]]
+    snapshot = copy.deepcopy(anns)
+
+    ImageAugmentation(T.detection_train_augmenter())(img, anns)
+    PoseFlip(1.1)(np.random.rand(64, 64, 3).astype(np.float32), anns)
+
+    assert anns == snapshot
