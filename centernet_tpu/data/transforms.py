@@ -198,9 +198,15 @@ class AffineAugmenter:
             sigma = rng.uniform(*self.blur_sigma)
             if sigma > 1e-3:
                 img = cv2.GaussianBlur(img, (0, 0), sigma)
-        if self.contrast is not None:
-            alpha = rng.uniform(*self.contrast)
-            img = 127.5 + alpha * (img - 127.5)
+        # contrast -> +noise -> *multiply, algebraically folded into
+        # out = (alpha*m)*img + 127.5*(1-alpha)*m + (sigma*m)*noise and
+        # applied IN PLACE (the op-at-a-time chain costs ~8 full-image
+        # passes + temporaries; this is ~5). Same math, f32 rounding order
+        # aside. The param draw order matches the unfused form so the RNG
+        # stream (and therefore every sampled augmentation) is unchanged.
+        alpha = rng.uniform(*self.contrast) if self.contrast is not None else 1.0
+        noise = None
+        scale = 0.0
         if self.noise_scale is not None:
             import os
 
@@ -217,17 +223,24 @@ class AffineAugmenter:
                 pool = _noise_pool()
                 start = rng.randint(0, pool.size - n + 1)
                 noise = pool[start:start + n].reshape(shape)
-            if scale > 1e-6:
-                img = img + noise * np.float32(scale)
+        m = 1.0
         if self.multiply is not None:
             if rng.rand() < self.multiply_per_channel_prob:
                 m = rng.uniform(self.multiply[0], self.multiply[1], size=(1, 1, 3))
             else:
                 m = rng.uniform(*self.multiply)
-            img = img * np.float32(m)
+        am = np.float32(alpha) * np.asarray(m, np.float32)
+        if alpha != 1.0 or self.multiply is not None:
+            img *= am
+        if alpha != 1.0:
+            img += np.asarray(127.5 * (1.0 - alpha) * np.asarray(m), np.float32)
+        if noise is not None and scale > 1e-6:
+            img += noise * (np.float32(scale) * np.asarray(m, np.float32))
         # round-half-up before the uint8 cast (imgaug rounds on dtype
         # restore; a bare astype truncates and darkens by ~0.5/op)
-        return (np.clip(img, 0, 255) + np.float32(0.5)).astype(np.uint8)
+        np.clip(img, 0, 255, out=img)
+        img += np.float32(0.5)
+        return img.astype(np.uint8)
 
     # geometric -----------------------------------------------------------
 
