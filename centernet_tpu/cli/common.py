@@ -53,6 +53,10 @@ def add_data_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--num_workers", type=int, default=8)
     parser.add_argument(
+        "--host_normalize", action="store_true",
+        help="normalize train images to f32 on the host (default: ship "
+        "uint8, normalize on device — 4x less host->device traffic)")
+    parser.add_argument(
         "--worker_mode", default="thread",
         choices=["thread", "process", "shm"],
         help="loader workers: threads (GIL-serial write-backs cap one host "

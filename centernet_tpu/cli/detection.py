@@ -30,17 +30,26 @@ from ..utils.coco_eval import CocoEvaluator
 from .common import add_data_args, add_model_args, add_trainer_args, parse_milestones
 
 
-def build_pipelines(task, input_size: int = 512):
+def build_pipelines(task, input_size: int = 512, host_normalize: bool = False):
     """Host side = augmentation + class mapping + annotation padding; the
     gaussian-splat target encoding runs ON DEVICE inside the jitted step
     (task.encode_targets) — ~300 ms/sample of host CPU per sample saved vs
-    host-side encoding (see benchmarks/bench_input_pipeline.py)."""
+    host-side encoding (see benchmarks/bench_input_pipeline.py).
+
+    By default the TRAIN pipeline also ships uint8 images and normalizes on
+    device (task.prep_images): 4x less worker->parent->device traffic and
+    one less host pass; ``host_normalize=True`` (--host_normalize) restores
+    f32 host normalization. Eval stays host-normalized — the TTA resize
+    paths expect pre-normalized floats."""
     from ..data import PaddedAnnotationSample
 
     norm = Normalize(task.mean, task.std)
     train_transform = ComposeSample(
         [
-            ImageAugmentation(detection_train_augmenter(input_size), norm),
+            ImageAugmentation(
+                detection_train_augmenter(input_size),
+                norm if host_normalize else None,
+            ),
             CategoryIdToClass(task.valid_ids),
             PaddedAnnotationSample(max_objects=task.max_objs),
         ]
@@ -78,7 +87,7 @@ def cli_main(argv=None):
         dtype=dtype,
     )
 
-    train_transform, valid_transform = build_pipelines(task, args.input_size)
+    train_transform, valid_transform = build_pipelines(task, args.input_size, host_normalize=args.host_normalize)
     coco_train = CocoDetection(
         os.path.join(args.image_root, "train2017"),
         os.path.join(args.annotation_root, "instances_train2017.json"),

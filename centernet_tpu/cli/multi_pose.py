@@ -30,14 +30,19 @@ from ..utils.coco_eval import CocoEvaluator
 from .common import add_data_args, add_model_args, add_trainer_args, parse_milestones
 
 
-def build_pipelines(task, input_size: int = 512):
+def build_pipelines(task, input_size: int = 512, host_normalize: bool = False):
     norm = Normalize(task.mean, task.std)
-    # target encoding runs on device (task.encode_targets); host pads only
+    # target encoding runs on device (task.encode_targets); host pads only.
+    # Train images ship uint8 by default and normalize on device
+    # (task.prep_images, see cli/detection.build_pipelines).
     from ..data import PaddedAnnotationSample
 
     train_transform = ComposeSample(
         [
-            ImageAugmentation(pose_train_augmenter(input_size), norm),
+            ImageAugmentation(
+                pose_train_augmenter(input_size),
+                norm if host_normalize else None,
+            ),
             PoseFlip(0.5),
             PaddedAnnotationSample(),
         ]
@@ -74,7 +79,7 @@ def cli_main(argv=None):
         dtype=dtype,
     )
 
-    train_transform, valid_transform = build_pipelines(task, args.input_size)
+    train_transform, valid_transform = build_pipelines(task, args.input_size, host_normalize=args.host_normalize)
     coco_train = CocoDetection(
         os.path.join(args.image_root, "train2017"),
         os.path.join(args.annotation_root, "person_keypoints_train2017.json"),

@@ -95,8 +95,14 @@ class _ProducerError:
 
 
 def default_collate(samples):
-    """Stack (img, target_dict) samples into batched numpy arrays."""
-    imgs = np.stack([np.asarray(s[0], np.float32) for s in samples])
+    """Stack (img, target_dict) samples into batched numpy arrays.
+
+    Integer images stay integer (uint8 batches normalize ON DEVICE via
+    task.prep_images — a silent f32 cast here would skip that and feed
+    0..255 values to the model); float images normalize to f32."""
+    imgs = np.stack([np.asarray(s[0]) for s in samples])
+    if np.issubdtype(imgs.dtype, np.floating):
+        imgs = imgs.astype(np.float32, copy=False)
     keys = samples[0][1].keys()
     target = {
         k: np.stack([np.asarray(s[1][k]) for s in samples]) for k in keys

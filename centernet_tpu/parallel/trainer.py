@@ -88,6 +88,8 @@ def make_train_step(task, tx, accumulate_grad_batches: int = 1) -> Callable:
     same sharding."""
 
     def grads_of(params, batch_stats, img, target):
+        img = task.prep_images(img)  # uint8 loader batches normalize on device
+
         def loss_fn(params):
             outputs, mutated = task.model.apply(
                 {"params": params, "batch_stats": batch_stats},
@@ -165,7 +167,7 @@ def make_eval_step(task) -> Callable:
     def eval_step(state: TrainState, batch):
         img, target = batch
         target = task.maybe_encode_targets(img.shape[1:3], target)
-        outputs = task.model.apply(state.variables(), img, False)
+        outputs = task.model.apply(state.variables(), task.prep_images(img), False)
         _, stats = task.loss(outputs, target)
         return stats
 
