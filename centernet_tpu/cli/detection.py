@@ -36,11 +36,12 @@ def build_pipelines(task, input_size: int = 512, host_normalize: bool = False):
     (task.encode_targets) — ~300 ms/sample of host CPU per sample saved vs
     host-side encoding (see benchmarks/bench_input_pipeline.py).
 
-    By default the TRAIN pipeline also ships uint8 images and normalizes on
-    device (task.prep_images): 4x less worker->parent->device traffic and
-    one less host pass; ``host_normalize=True`` (--host_normalize) restores
-    f32 host normalization. Eval stays host-normalized — the TTA resize
-    paths expect pre-normalized floats."""
+    By default both loader pipelines also ship uint8 images and normalize
+    on device (task.prep_images): 4x less worker->parent->device traffic
+    and one less host pass; ``host_normalize=True`` (--host_normalize)
+    restores f32 host normalization. The TTA test path is unaffected — it
+    feeds raw [0,1] floats through ``prepare_image_fixed``, which
+    normalizes on device itself."""
     from ..data import PaddedAnnotationSample
 
     norm = Normalize(task.mean, task.std)
@@ -56,7 +57,10 @@ def build_pipelines(task, input_size: int = 512, host_normalize: bool = False):
     )
     valid_transform = ComposeSample(
         [
-            ImageAugmentation(eval_augmenter(input_size), norm),
+            ImageAugmentation(
+                eval_augmenter(input_size),
+                norm if host_normalize else None,
+            ),
             CategoryIdToClass(task.valid_ids),
             PaddedAnnotationSample(max_objects=task.max_objs),
         ]

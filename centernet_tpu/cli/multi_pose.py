@@ -49,7 +49,10 @@ def build_pipelines(task, input_size: int = 512, host_normalize: bool = False):
     )
     valid_transform = ComposeSample(
         [
-            ImageAugmentation(eval_augmenter(input_size), norm),
+            ImageAugmentation(
+                eval_augmenter(input_size),
+                norm if host_normalize else None,
+            ),
             PaddedAnnotationSample(),
         ]
     )
