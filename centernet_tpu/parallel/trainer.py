@@ -218,6 +218,45 @@ class CheckpointCallback:
         self._best = self._best[: self.save_top_k]
 
 
+def _unpad_gathered_json(rows, lengths):
+    """Pure merge step of the COCO-result allgather: decode each process's
+    length-prefixed JSON payload row and concatenate (unit-tested without
+    a multi-process runtime)."""
+    import json
+
+    merged = []
+    for row, n in zip(rows, lengths):
+        if int(n) == 0:
+            continue
+        data = np.asarray(row[: int(n)], np.uint8).tobytes()
+        merged.extend(json.loads(data.decode("utf-8")))
+    return merged
+
+
+def _allgather_coco_results(coco_results):
+    """Union variable-length COCO result dicts across processes — the
+    Lightning-DDP eval-gather equivalent. Detections are host-side Python
+    data of uneven length, so they ride jax collectives as one padded
+    uint8 JSON payload per process (scalar length allgather first)."""
+    import json
+
+    from jax.experimental import multihost_utils as mhu
+
+    payload = np.frombuffer(
+        json.dumps(coco_results).encode("utf-8"), np.uint8
+    )
+    lengths = np.asarray(
+        mhu.process_allgather(np.int64(payload.size))
+    ).reshape(-1)
+    cap = max(1, int(lengths.max()))
+    padded = np.zeros(cap, np.uint8)
+    padded[: payload.size] = payload
+    rows = np.asarray(mhu.process_allgather(padded)).reshape(
+        len(lengths), cap
+    )
+    return _unpad_gathered_json(rows, lengths)
+
+
 class Trainer:
     """Data-parallel trainer over an ICI mesh."""
 
@@ -459,7 +498,9 @@ class Trainer:
             buf_metas.clear()
             buf_ids.clear()
 
-        for img, image_id in dataset:
+        for i, (img, image_id) in enumerate(dataset):
+            if i % jax.process_count() != jax.process_index():
+                continue  # per-process eval shard (see test())
             im, meta = self.task.prepare_image_fixed(img, input_size)
             buf_imgs.append(im)
             buf_metas.append(meta)
@@ -473,9 +514,16 @@ class Trainer:
     def test(self, dataset, coco_eval=None, prefix: str = "") -> Dict[str, float]:
         """Run TTA prediction over a dataset of (img_hwc, image_id) and, when
         a COCO ground-truth evaluator is given, compute AP stats
-        (reference trainer.test path, centernet_detection.py:227-265)."""
+        (reference trainer.test path, centernet_detection.py:227-265).
+
+        Under multi-controller JAX each process predicts only its strided
+        shard of the dataset (the Lightning-DDP eval-sharding equivalent);
+        the COCO-format detections are allgathered before scoring, so every
+        process computes (identical) global stats."""
         results = []
-        for img, image_id in dataset:
+        for i, (img, image_id) in enumerate(dataset):
+            if i % jax.process_count() != jax.process_index():
+                continue
             det = self.task.predict(self.state.variables(), img)
             results.append((image_id, det))
         return self._evaluate_results(results, coco_eval, prefix)
@@ -498,6 +546,8 @@ class Trainer:
         coco_results = []
         for image_id, det in results:
             coco_results.extend(self.task.to_coco_format(image_id, det))
+        if jax.process_count() > 1:
+            coco_results = _allgather_coco_results(coco_results)
         out: Dict[str, float] = {}
         for pfx, ev in evals:
             stats = ev(coco_results)

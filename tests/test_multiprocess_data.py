@@ -181,3 +181,50 @@ def test_mesh_device_order_process_major():
     devs = list(mesh.devices.flat)
     keys = [(d.process_index, d.id) for d in devs]
     assert keys == sorted(keys)
+
+
+def test_unpad_gathered_json_roundtrip():
+    """Pure merge step of the eval-results allgather: per-process JSON
+    payloads padded to a common cap decode back to the union."""
+    import json
+
+    from centernet_tpu.parallel.trainer import _unpad_gathered_json
+
+    p0 = [{"image_id": 1, "score": 0.5}, {"image_id": 2, "score": 0.25}]
+    p1 = [{"image_id": 3, "score": 1.0}]
+    payloads = [json.dumps(p).encode() for p in (p0, p1, [])]
+    cap = max(len(b) for b in payloads)
+    rows = np.zeros((3, cap), np.uint8)
+    lengths = []
+    for i, b in enumerate(payloads):
+        rows[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lengths.append(len(b))
+    # the empty third process contributes "[]", not nothing
+    merged = _unpad_gathered_json(rows, np.asarray(lengths))
+    assert merged == p0 + p1
+
+
+def test_allgather_coco_results_simulated(monkeypatch):
+    """_allgather_coco_results with process_allgather faked as a 2-process
+    view: the local payload plus a fixed peer payload must union."""
+    import json
+
+    from jax.experimental import multihost_utils as mhu
+
+    from centernet_tpu.parallel import trainer as trainer_mod
+
+    peer = [{"image_id": 9, "category_id": 1, "score": 0.75}]
+    peer_bytes = np.frombuffer(json.dumps(peer).encode(), np.uint8)
+
+    def fake_allgather(x):
+        x = np.asarray(x)
+        if x.ndim == 0:  # the length allgather
+            return np.stack([x, np.int64(peer_bytes.size)])
+        padded_peer = np.zeros_like(x)
+        padded_peer[: peer_bytes.size] = peer_bytes
+        return np.stack([x, padded_peer])
+
+    monkeypatch.setattr(mhu, "process_allgather", fake_allgather)
+    local = [{"image_id": 1, "category_id": 2, "score": 0.5}]
+    merged = trainer_mod._allgather_coco_results(local)
+    assert merged == local + peer
