@@ -174,12 +174,14 @@ def cli_main(argv=None):
         return trainer
 
     # TTA test + COCO eval (reference :412-418 uses the val set).
+    # preshard the id list per process (decode only this host's shard)
+    eval_ids = coco_val.ids[jax.process_index() :: jax.process_count()]
     test_ds = (
         (coco_val._load_image(img_id)[..., ::-1].astype(np.float32) / 255.0, img_id)
-        for img_id in coco_val.ids
+        for img_id in eval_ids
     )
     evaluator = CocoEvaluator(coco_val.coco, "bbox")
-    stats = trainer.test(test_ds, evaluator)
+    stats = trainer.test(test_ds, evaluator, presharded=True)
     print(stats)
     return trainer
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 import argparse
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -159,9 +160,11 @@ def cli_main(argv=None):
     if args.skip_test:
         return trainer
 
+    # preshard the id list per process (decode only this host's shard)
+    eval_ids = coco_val.ids[jax.process_index() :: jax.process_count()]
     test_ds = (
         (coco_val._load_image(i)[..., ::-1].astype(np.float32) / 255.0, i)
-        for i in coco_val.ids
+        for i in eval_ids
     )
     # Reference evaluates keypoints AND bbox from the same detections
     # (centernet_multi_pose.py:300-321) -> test/kp_* and test/bbox_*.
@@ -171,6 +174,7 @@ def cli_main(argv=None):
             ("kp_", CocoEvaluator(coco_val.coco, "keypoints")),
             ("bbox_", CocoEvaluator(coco_val.coco, "bbox")),
         ],
+        presharded=True,
     )
     print(stats)
     return trainer

@@ -9,6 +9,7 @@ from __future__ import annotations
 import argparse
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -139,9 +140,11 @@ def cli_test(argv=None):
     if args.flip:
         prefix += "flip_"
 
+    # preshard the id list per process (decode only this host's shard)
+    eval_ids = coco_val.ids[jax.process_index() :: jax.process_count()]
     test_ds = (
         (coco_val._load_image(i)[..., ::-1].astype(np.float32) / 255.0, i)
-        for i in coco_val.ids
+        for i in eval_ids
     )
     if args.task == "detection":
         evals = [(prefix, CocoEvaluator(coco_val.coco, "bbox"))]
@@ -152,7 +155,7 @@ def cli_test(argv=None):
             (prefix + "kp_", CocoEvaluator(coco_val.coco, "keypoints")),
             (prefix + "bbox_", CocoEvaluator(coco_val.coco, "bbox")),
         ]
-    stats = trainer.test(test_ds, evals)
+    stats = trainer.test(test_ds, evals, presharded=True)
     print(stats)
     return stats
 

@@ -82,7 +82,10 @@ def _worker_fill_row(slot, row, idx):
     at ``row``. Returns nothing — the arrays travel via /dev/shm."""
     img, target = _WORKER_DATASET[idx]
     views = _WORKER_SLOTS[slot]
-    views["__image__"][1][row] = np.asarray(img, np.float32)
+    # write in the BUFFER's dtype (sized from the probe sample): a forced
+    # f32 cast here would silently defeat on-device normalization of uint8
+    # pipelines (prep_images passes float batches through untouched)
+    views["__image__"][1][row] = np.asarray(img)
     for k, v in target.items():
         views[k][1][row] = np.asarray(v)
 
@@ -205,7 +208,17 @@ class DataLoader:
 
         img, target = self.dataset[0]
         per = self.batch_size // self.process_count
-        fields = {"__image__": (np.asarray(img, np.float32).shape, "float32")}
+        # image dtype follows default_collate's rule: integer images stay
+        # integer (normalized on device by task.prep_images), floats ride
+        # as f32 — a hardcoded f32 buffer would silently ship 0..255
+        # values that prep_images then skips
+        img = np.asarray(img)
+        img_dt = (
+            np.dtype(np.float32)
+            if np.issubdtype(img.dtype, np.floating)
+            else img.dtype
+        )
+        fields = {"__image__": (img.shape, img_dt.str)}
         for k, v in target.items():
             v = np.asarray(v)
             fields[k] = (v.shape, v.dtype.str)

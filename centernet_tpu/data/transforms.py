@@ -519,6 +519,18 @@ class PoseFlip:
         return img, target
 
 
+def normalize_coeffs(mean, std):
+    """Fused coefficients for ``(x/255 - mean)/std == x*scale + bias`` —
+    the ONE definition shared by host ``Normalize`` and the on-device
+    ``task.prep_images`` path (uint8 loader batches)."""
+    std = np.asarray(std, np.float32)
+    mean = np.asarray(mean, np.float32)
+    return (
+        (1.0 / (255.0 * std)).astype(np.float32),
+        (-mean / std).astype(np.float32),
+    )
+
+
 class Normalize:
     """uint8 HWC -> float32 HWC in [0,1] minus mean over std (the reference's
     ToTensor+Normalize, kept channels-last for TPU)."""
@@ -526,12 +538,11 @@ class Normalize:
     def __init__(self, mean=None, std=None):
         self.mean = np.asarray(mean, np.float32) if mean is not None else None
         self.std = np.asarray(std, np.float32) if std is not None else None
-        # fused form: (x/255 - mean)/std == x * scale + bias, applied
-        # in-place on the freshly-allocated f32 copy (the naive chain costs
-        # 4 full-image passes + temporaries, ~4.7 ms/sample at 512^2)
+        # fused form applied in-place on the freshly-allocated f32 copy
+        # (the naive chain costs 4 full-image passes + temporaries,
+        # ~4.7 ms/sample at 512^2)
         if self.mean is not None:
-            self._scale = (1.0 / (255.0 * self.std)).astype(np.float32)
-            self._bias = (-self.mean / self.std).astype(np.float32)
+            self._scale, self._bias = normalize_coeffs(self.mean, self.std)
         else:
             self._scale = np.float32(1.0 / 255.0)
             self._bias = None
@@ -612,8 +623,10 @@ class ImageAugmentation:
             new = kps[offset : offset + self.num_joints]
             offset += self.num_joints
             vis = pts[:, 2:3]
+            # int(v) == 0 semantics of the pre-vectorized loop: any
+            # visibility in (-1, 1) truncates to 0 and drops the joint
             res = np.where(
-                vis == 0.0,
+                np.trunc(vis) == 0.0,
                 0.0,
                 np.concatenate([np.asarray(new, np.float64), vis], axis=1),
             )

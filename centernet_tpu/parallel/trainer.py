@@ -469,6 +469,33 @@ class Trainer:
 
     # -- eval / test -----------------------------------------------------------
 
+    def _eval_variables(self):
+        """Variables for the per-process eval path. Under multi-controller
+        JAX prediction is NOT a lockstep SPMD computation (each process
+        runs its own shard of the dataset, with its own shapes and call
+        counts), so the globally-sharded state arrays cannot feed the
+        per-process jits. Params are replicated over the mesh — every
+        process holds a complete copy — so pull them to host once and let
+        each process compute locally."""
+        variables = self.state.variables()
+        if jax.process_count() > 1:
+            variables = jax.tree_util.tree_map(
+                lambda x: np.asarray(x.addressable_data(0)), variables
+            )
+        return variables
+
+    def _eval_shard(self, dataset, presharded: bool):
+        """Strided per-process view of an eval dataset (Lightning-DDP
+        eval-sampler equivalent). ``presharded=True`` means the caller
+        already split the id list per process (cheaper — the stride here
+        skips items only AFTER the generator decoded them)."""
+        if presharded or jax.process_count() == 1:
+            yield from dataset
+            return
+        for i, item in enumerate(dataset):
+            if i % jax.process_count() == jax.process_index():
+                yield item
+
     def test_batched(
         self,
         dataset,
@@ -476,6 +503,7 @@ class Trainer:
         prefix: str = "",
         batch_size: int = 16,
         input_size: int = 512,
+        presharded: bool = False,
     ) -> Dict[str, float]:
         """Batched single-scale evaluation (production serving path): all
         images share one fixed shape, one device round trip per batch —
@@ -483,6 +511,7 @@ class Trainer:
         reference-style TTA loop in ``test``."""
         import jax.numpy as jnp
 
+        variables = self._eval_variables()
         results = []
         buf_imgs, buf_metas, buf_ids = [], [], []
 
@@ -490,17 +519,13 @@ class Trainer:
             if not buf_imgs:
                 return
             images = jnp.stack(buf_imgs)
-            dets = self.task.predict_batch(
-                self.state.variables(), images, buf_metas
-            )
+            dets = self.task.predict_batch(variables, images, buf_metas)
             results.extend(zip(buf_ids, dets))
             buf_imgs.clear()
             buf_metas.clear()
             buf_ids.clear()
 
-        for i, (img, image_id) in enumerate(dataset):
-            if i % jax.process_count() != jax.process_index():
-                continue  # per-process eval shard (see test())
+        for img, image_id in self._eval_shard(dataset, presharded):
             im, meta = self.task.prepare_image_fixed(img, input_size)
             buf_imgs.append(im)
             buf_metas.append(meta)
@@ -511,20 +536,23 @@ class Trainer:
 
         return self._evaluate_results(results, coco_eval, prefix)
 
-    def test(self, dataset, coco_eval=None, prefix: str = "") -> Dict[str, float]:
+    def test(
+        self, dataset, coco_eval=None, prefix: str = "",
+        presharded: bool = False,
+    ) -> Dict[str, float]:
         """Run TTA prediction over a dataset of (img_hwc, image_id) and, when
         a COCO ground-truth evaluator is given, compute AP stats
         (reference trainer.test path, centernet_detection.py:227-265).
 
-        Under multi-controller JAX each process predicts only its strided
-        shard of the dataset (the Lightning-DDP eval-sharding equivalent);
-        the COCO-format detections are allgathered before scoring, so every
+        Under multi-controller JAX each process predicts only its shard of
+        the dataset (the Lightning-DDP eval-sharding equivalent; pass
+        ``presharded=True`` if the caller already split the ids); the
+        COCO-format detections are allgathered before scoring, so every
         process computes (identical) global stats."""
+        variables = self._eval_variables()
         results = []
-        for i, (img, image_id) in enumerate(dataset):
-            if i % jax.process_count() != jax.process_index():
-                continue
-            det = self.task.predict(self.state.variables(), img)
+        for img, image_id in self._eval_shard(dataset, presharded):
+            det = self.task.predict(variables, img)
             results.append((image_id, det))
         return self._evaluate_results(results, coco_eval, prefix)
 

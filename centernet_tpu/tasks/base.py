@@ -133,12 +133,10 @@ class CenterNet:
         they were normalized on the host (eval/TTA paths), so this is safe
         at every model entry point."""
         if jnp.issubdtype(x.dtype, jnp.integer):
-            import numpy as np
+            from ..data.transforms import normalize_coeffs
 
-            std = np.asarray(self.std, np.float32)
-            scale = jnp.asarray(1.0 / (255.0 * std))
-            bias = jnp.asarray(-np.asarray(self.mean, np.float32) / std)
-            x = x.astype(jnp.float32) * scale + bias
+            scale, bias = normalize_coeffs(self.mean, self.std)
+            x = x.astype(jnp.float32) * jnp.asarray(scale) + jnp.asarray(bias)
         return x
 
     def apply(self, variables, x, train: bool = False, mutable=False):

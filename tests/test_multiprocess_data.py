@@ -228,3 +228,38 @@ def test_allgather_coco_results_simulated(monkeypatch):
     local = [{"image_id": 1, "category_id": 2, "score": 0.5}]
     merged = trainer_mod._allgather_coco_results(local)
     assert merged == local + peer
+
+
+class Uint8Dataset:
+    """uint8 images — the production default (on-device normalization)."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return np.full((2, 2, 3), i, np.uint8), {"idx": np.int32(i)}
+
+
+def test_loaders_preserve_uint8_images():
+    """Every worker mode must deliver uint8 batches for uint8 datasets —
+    a silent f32 cast (the shm buffers used to hardcode float32) would
+    make task.prep_images skip normalization and train on 0..255 values."""
+    ds = Uint8Dataset(16)
+    for mode in ("thread", "process", "shm"):
+        # copy each batch while the loader is alive — shm views die with
+        # the slot ring (the documented consumer contract)
+        batches = [
+            (img.copy(), t)
+            for img, t in DataLoader(
+                ds, batch_size=8, num_workers=2, worker_mode=mode,
+                process_index=0, process_count=1, prefetch=1,
+            )
+        ]
+        assert batches, mode
+        for img, t in batches:
+            assert img.dtype == np.uint8, (mode, img.dtype)
+        got = sorted(int(b[0][i, 0, 0, 0]) for b in batches for i in range(8))
+        assert got == list(range(16)), (mode, got)
