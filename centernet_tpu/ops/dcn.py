@@ -482,8 +482,7 @@ def banded_deform_conv(
 
     acc_dt = jnp.float32 if acc32 else dt
 
-    def tap_body(acc, xs):
-        ky, kx, off_k, m_k, w_k = xs
+    def tap_col(ky, kx, off_k, m_k):
         oy = off_k[..., 0]
         ox = off_k[..., 1]
         oxf = jnp.floor(ox)
@@ -523,7 +522,11 @@ def banded_deform_conv(
                 + jnp.where(oyf == s_rel - 1.0, fy, 0.0)
             ).astype(acc_dt)
             col = col + wy[..., None] * t_dy
-        colm = (col * m_k[..., None]).astype(dt)
+        return (col * m_k[..., None]).astype(dt)
+
+    def tap_body(acc, xs):
+        ky, kx, off_k, m_k, w_k = xs
+        colm = tap_col(ky, kx, off_k, m_k)
         term = jnp.einsum(
             "bhwc,co->bhwo", colm, w_k,
             preferred_element_type=jnp.float32, precision=prec,
@@ -532,11 +535,32 @@ def banded_deform_conv(
 
     out = jnp.zeros((b, h, w, co), jnp.float32)
     if unroll_taps:
+        import os
+
         # inference: fully unrolled taps with STATIC tap constants and
         # direct views (no tap-major transpose) let XLA overlap/fuse
         # across taps; training scans to keep the autodiff graph
         # compile-tractable (the unrolled 512^2 dla_34 TRAIN graph took
         # >30 min of XLA compile).
+        if os.environ.get("CENTERNET_TPU_DCN_WMM", "pertap") == "stack":
+            # experiment knob: ONE deep weight matmul over the tap-stacked
+            # columns ([.., KK*Ci] @ [KK*Ci, Co]) instead of 9 thin
+            # K=Ci/N=Co dots — same FLOPs/traffic, fuller MXU depth
+            cols = []
+            for k in range(kk):
+                ky = (k // kernel_size) * dilation - padding
+                kx = (k % kernel_size) * dilation - padding
+                cols.append(
+                    tap_col(ky, kx, off[:, :, :, k, :], mask[:, :, :, k])
+                )
+            cat = jnp.concatenate(cols, axis=-1)  # tap-major, like weight
+            return (
+                jnp.einsum(
+                    "bhwk,ko->bhwo", cat, weight.astype(dt),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                + bias
+            )
         for k in range(kk):
             ky = (k // kernel_size) * dilation - padding
             kx = (k % kernel_size) * dilation - padding

@@ -66,6 +66,17 @@ def test_banded_acc_dtype_knob():
     np.testing.assert_allclose(gotb, refb, atol=1.5e-2 * scale)
 
 
+def test_banded_stacked_weight_matmul_matches(monkeypatch):
+    """CENTERNET_TPU_DCN_WMM=stack (one deep [.., KK*Ci] @ [KK*Ci, Co]
+    matmul over tap-stacked columns) must match the per-tap dots."""
+    a = _args(seed=11)
+    ref = np.array(banded_deform_conv(*a, 3, 1, 1, 1, 4, unroll_taps=True))
+    monkeypatch.setenv("CENTERNET_TPU_DCN_WMM", "stack")
+    got = np.array(banded_deform_conv(*a, 3, 1, 1, 1, 4, unroll_taps=True))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=1e-5 * scale, rtol=1e-5)
+
+
 @pytest.mark.parametrize("tap_mode", ["unroll", "fused"])
 def test_dcn_v2_tap_modes_match_scan(tap_mode):
     """The unrolled / single-fused-gather tap modes of the exact gather
