@@ -110,6 +110,39 @@ def bench_train(task, variables) -> float:
     return (8 - 4) / (t2 - t1)
 
 
+def bench_host_pipeline() -> float:
+    """Production host pipeline (uint8, on-device-normalize default)
+    samples/s on ONE core — machine-records the loader-side throughput
+    so BENCH_r*.json catches input-pipeline regressions too."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from centernet_tpu.data import (
+        CategoryIdToClass,
+        ComposeSample,
+        ImageAugmentation,
+        PaddedAnnotationSample,
+        detection_train_augmenter,
+    )
+    from centernet_tpu.data import transforms as T
+    from centernet_tpu.tasks.detection import CenterNetDetection
+    from tests.utilities import CocoFakeDataset
+
+    T.seed(0)
+    pipe = ComposeSample([
+        ImageAugmentation(detection_train_augmenter(512), None),
+        CategoryIdToClass(CenterNetDetection.valid_ids),
+        PaddedAnnotationSample(max_objects=CenterNetDetection.max_objs),
+    ])
+    img, target = CocoFakeDataset(transforms=None, length=1, size=512)[0]
+    pipe(img, target)  # warm (noise pool build)
+    n = 30
+    t0 = time.perf_counter()
+    for _ in range(n):
+        pipe(img, target)
+    return n / (time.perf_counter() - t0)
+
+
 def main():
     from centernet_tpu import CenterNetDetection
     from centernet_tpu.ops.decode import ctdet_decode
@@ -167,6 +200,14 @@ def main():
         print(f"train bench failed: {e!r}", file=sys.stderr)
         train_img_s = None
 
+    try:
+        host_samples_s = round(bench_host_pipeline(), 1)
+    except Exception as e:
+        import sys
+
+        print(f"host pipeline bench failed: {e!r}", file=sys.stderr)
+        host_samples_s = None
+
     print(
         json.dumps(
             {
@@ -176,6 +217,7 @@ def main():
                 "vs_baseline": round(img_per_sec / TARGET, 3),
                 "train_metric": "dla34_train_step_images_per_sec_per_chip",
                 "train_value": train_img_s,
+                "host_pipeline_samples_per_sec_per_core": host_samples_s,
             }
         )
     )
