@@ -42,6 +42,13 @@ def cli_test(argv=None):
     parser.add_argument("--pretrained_weights_path", default=None)
     parser.add_argument("--flip", action="store_true")
     parser.add_argument("--multi_scale", action="store_true")
+    parser.add_argument(
+        "--batched", action="store_true",
+        help="evaluate through the batched fixed-shape serving path "
+        "(single scale, no TTA; one device round trip per "
+        "--eval_batch_size images instead of per image)",
+    )
+    parser.add_argument("--eval_batch_size", type=int, default=16)
     parser.add_argument("--precision", default="bf16", choices=["bf16", "f32"])
     parser.add_argument(
         "--export_serving",
@@ -155,7 +162,18 @@ def cli_test(argv=None):
             (prefix + "kp_", CocoEvaluator(coco_val.coco, "keypoints")),
             (prefix + "bbox_", CocoEvaluator(coco_val.coco, "bbox")),
         ]
-    stats = trainer.test(test_ds, evals, presharded=True)
+    if args.batched:
+        if args.flip or args.multi_scale:
+            raise SystemExit(
+                "--batched is the single-scale serving path; drop "
+                "--flip/--multi_scale or use the TTA loop"
+            )
+        stats = trainer.test_batched(
+            test_ds, evals, batch_size=args.eval_batch_size,
+            presharded=True,
+        )
+    else:
+        stats = trainer.test(test_ds, evals, presharded=True)
     print(stats)
     return stats
 

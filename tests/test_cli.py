@@ -158,6 +158,18 @@ def test_eval_cli_end_to_end(tmp_path):
     )
     assert "test/flip_ap" in stats, sorted(stats)
 
+    # the batched fixed-shape serving path is the other eval surface
+    batched_stats = cli_test(
+        [
+            "detection", image_root, ann_root,
+            "--checkpoint", ckpt,
+            "--precision", "f32",
+            "--batched",
+            "--eval_batch_size", "4",
+        ]
+    )
+    assert "test/ap" in batched_stats, sorted(batched_stats)
+
     from centernet_tpu.utils.export import load_serving
 
     served = load_serving(export_path)
