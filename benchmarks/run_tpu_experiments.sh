@@ -18,3 +18,15 @@ timeout 3000 python bench.py
 
 # 4. fresh device profile to re-attribute
 timeout 3000 python benchmarks/profile_forward.py --top 30 --hlo-map
+
+# 5. tap-stacked weight matmul at inference (one deep [.., KK*Ci] @ [KK*Ci, Co]
+#    dot instead of 9 thin per-tap dots; parity-gated, unmeasured)
+CENTERNET_TPU_DCN_WMM=stack timeout 3000 python bench.py
+
+# 6. bf16 accumulation for the selection einsums at inference
+#    (~2^-8 relative rounding on the 2-term bilinear sums; halves t_dy traffic)
+CENTERNET_TPU_DCN_ACC=bf16 timeout 3000 python bench.py
+
+# 7. fine-map radius-1 probe (skew study: 0.30 px box delta — borderline;
+#    only flip the default if the train->AP gate certifies it)
+CENTERNET_TPU_DCN_RADIUS_FINE=1 timeout 3000 python bench.py
