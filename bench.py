@@ -25,7 +25,36 @@ inference => ~208 img/s. vs_baseline = value / (2 * 208).
 
 import json
 import os
+import subprocess
+import sys
 import time
+
+
+def _preflight_device_probe(timeout_s: int = 180) -> None:
+    """Fail fast (non-zero, no fake JSON) when the remote TPU tunnel is
+    down: `import jax` itself blocks forever connecting the axon pool, so
+    probe device liveness in a bounded SUBPROCESS before importing jax in
+    this process. Skipped off-axon (CPU/TPU-local runs don't hang)."""
+    if os.environ.get("JAX_PLATFORMS", "") != "axon":
+        return
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            check=True,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        print(
+            f"bench.py: TPU tunnel unreachable (device probe failed within "
+            f"{timeout_s}s) — refusing to hang; no metric emitted",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+
+
+_preflight_device_probe()
 
 import jax
 import jax.numpy as jnp
