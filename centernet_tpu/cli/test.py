@@ -49,6 +49,13 @@ def cli_test(argv=None):
         "--eval_batch_size images instead of per image)",
     )
     parser.add_argument("--eval_batch_size", type=int, default=16)
+    parser.add_argument(
+        "--spatial", type=int, default=1, metavar="M",
+        help="with --batched: shard each image's H axis over M devices "
+        "(the 'model' mesh axis) — GSPMD conv-halo spatial parallelism; "
+        "scales single-image LATENCY, which data parallelism cannot "
+        "(parallel/spatial.py; no reference analog)",
+    )
     parser.add_argument("--precision", default="bf16", choices=["bf16", "f32"])
     parser.add_argument(
         "--export_serving",
@@ -168,11 +175,20 @@ def cli_test(argv=None):
                 "--batched is the single-scale serving path; drop "
                 "--flip/--multi_scale or use the TTA loop"
             )
+        infer_fn = None
+        if args.spatial > 1:
+            from ..parallel.spatial import make_spatial_infer
+
+            # pure latency scaling: batch unsharded (data=1), H over M chips
+            smesh = make_mesh(n_data=1, n_model=args.spatial)
+            infer_fn = make_spatial_infer(task, smesh)
         stats = trainer.test_batched(
             test_ds, evals, batch_size=args.eval_batch_size,
-            presharded=True,
+            presharded=True, infer_fn=infer_fn,
         )
     else:
+        if args.spatial > 1:
+            raise SystemExit("--spatial requires --batched (fixed shapes)")
         stats = trainer.test(test_ds, evals, presharded=True)
     print(stats)
     return stats

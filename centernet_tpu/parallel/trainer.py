@@ -504,11 +504,14 @@ class Trainer:
         batch_size: int = 16,
         input_size: int = 512,
         presharded: bool = False,
+        infer_fn=None,
     ) -> Dict[str, float]:
         """Batched single-scale evaluation (production serving path): all
         images share one fixed shape, one device round trip per batch —
         orders of magnitude less host<->device latency than the per-image
-        reference-style TTA loop in ``test``."""
+        reference-style TTA loop in ``test``. ``infer_fn`` overrides the
+        forward+decode (e.g. spatially sharded over the ``model`` mesh
+        axis, ``parallel.spatial.make_spatial_infer``)."""
         import jax.numpy as jnp
 
         variables = self._eval_variables()
@@ -519,7 +522,9 @@ class Trainer:
             if not buf_imgs:
                 return
             images = jnp.stack(buf_imgs)
-            dets = self.task.predict_batch(variables, images, buf_metas)
+            dets = self.task.predict_batch(
+                variables, images, buf_metas, infer_fn=infer_fn
+            )
             results.extend(zip(buf_ids, dets))
             buf_imgs.clear()
             buf_metas.clear()

@@ -233,11 +233,17 @@ class CenterNetDetection(CenterNet):
     # with the multi-pose task)
 
     def predict_batch(
-        self, variables, images: "jnp.ndarray", metas: List[dict]
+        self, variables, images: "jnp.ndarray", metas: List[dict],
+        infer_fn=None,
     ) -> List[Dict[int, np.ndarray]]:
         """Batched single-scale inference: one device round trip for the
-        whole batch, host-side per-image unpadding/grouping."""
-        dets = np.array(self._infer_decode_jit(variables, images, False))
+        whole batch, host-side per-image unpadding/grouping. ``infer_fn``
+        overrides the jitted forward+decode (e.g. the spatially-sharded
+        one from ``parallel.spatial.make_spatial_infer``)."""
+        if infer_fn is None:
+            dets = np.array(self._infer_decode_jit(variables, images, False))
+        else:
+            dets = np.array(infer_fn(variables, images))
         results = []
         for det, meta in zip(dets, metas):
             padding = np.array(meta["padding"] * 2, np.float32)

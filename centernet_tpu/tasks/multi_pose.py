@@ -278,13 +278,19 @@ class CenterNetMultiPose(CenterNet):
     # with the detection task)
 
     def predict_batch(
-        self, variables, images: "jnp.ndarray", metas: List[dict]
+        self, variables, images: "jnp.ndarray", metas: List[dict],
+        infer_fn=None,
     ) -> List[np.ndarray]:
         """Batched single-scale pose inference: one device round trip for
         the whole batch, host-side per-image unpadding. Returns the same
         [n, 57] row format as ``predict`` (bbox4, score, kps34, class,
-        hm_score17), ready for ``to_coco_format``."""
-        dets = np.array(self._infer_decode_jit(variables, images, False))
+        hm_score17), ready for ``to_coco_format``. ``infer_fn`` overrides
+        the jitted forward+decode (e.g. the spatially-sharded one from
+        ``parallel.spatial.make_spatial_infer``)."""
+        if infer_fn is None:
+            dets = np.array(self._infer_decode_jit(variables, images, False))
+        else:
+            dets = np.array(infer_fn(variables, images))
         results = []
         for det, meta in zip(dets, metas):
             padding = np.array(meta["padding"], np.float32)

@@ -170,6 +170,23 @@ def test_eval_cli_end_to_end(tmp_path):
     )
     assert "test/ap" in batched_stats, sorted(batched_stats)
 
+    # spatially-sharded serving (--spatial: image H over the model mesh
+    # axis) must reproduce the batched stats — exactness is gated by
+    # test_spatial_sharding.py; this covers the CLI plumbing
+    spatial_stats = cli_test(
+        [
+            "detection", image_root, ann_root,
+            "--checkpoint", ckpt,
+            "--precision", "f32",
+            "--batched",
+            "--spatial", "2",
+            "--eval_batch_size", "4",
+        ]
+    )
+    assert sorted(spatial_stats) == sorted(batched_stats)
+    for k, v in batched_stats.items():
+        assert spatial_stats[k] == pytest.approx(v, abs=1e-3), k
+
     from centernet_tpu.utils.export import load_serving
 
     served = load_serving(export_path)
