@@ -32,6 +32,7 @@ def _ref_and_sharded(arch, n_data, n_model, size=128):
     [
         ("res_18", 2, 4),  # plain convs + deconv, 4-way spatial
         ("resdcn_18", 2, 2),  # banded DCN row-shift halos under sharding
+        ("dla_34", 2, 2),  # DLAUp/IDAUp DCN aggregation under sharding
     ],
 )
 def test_spatial_sharding_matches_single_device(arch, n_data, n_model):
@@ -42,6 +43,21 @@ def test_spatial_sharding_matches_single_device(arch, n_data, n_model):
     # all-equal init scores may legitimately reorder)
     strong = ref[..., 4] > ref[..., 4].mean()
     assert (got[..., 5] == ref[..., 5])[strong].all()
+
+
+def test_spatial_sharding_multi_pose():
+    """The pose decode's K×K joint-snap gathers must stay exact when the
+    feature H axis is sharded (57-col output: bbox4+score+kps34+class+hm17).
+    """
+    from centernet_tpu.tasks.multi_pose import CenterNetMultiPose
+
+    task = CenterNetMultiPose("res_18", dtype=jnp.float32)
+    variables = task.init_variables(jax.random.PRNGKey(0), (128, 128))
+    img = np.random.default_rng(0).random((2, 128, 128, 3), np.float32)
+    ref = np.array(task._infer_decode_jit(variables, jnp.asarray(img), False))
+    mesh = make_mesh(n_data=2, n_model=4)
+    got = np.array(make_spatial_infer(task, mesh)(variables, jnp.asarray(img)))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
 def test_spatial_sharding_shape_guards():
