@@ -220,36 +220,39 @@ def main():
     img_per_sec = 1.0 / per_img
 
     # training throughput rides the same JSON line as extra fields so the
-    # driver-recorded BENCH_r*.json machine-checks train regressions too
+    # driver-recorded BENCH_r*.json machine-checks train regressions too.
+    # Sub-bench failures are NOT silent (VERDICT r3 weak #7): the record
+    # carries an explicit "error" field and the process exits non-zero so
+    # the driver flags the regression instead of archiving nulls.
+    errors = []
     try:
         train_img_s = round(bench_train(task, variables), 2)
-    except Exception as e:  # never lose the headline metric
-        import sys
-
+    except Exception as e:  # keep the headline metric, but fail loud
         print(f"train bench failed: {e!r}", file=sys.stderr)
         train_img_s = None
+        errors.append(f"train: {e!r}")
 
     try:
         host_samples_s = round(bench_host_pipeline(), 1)
     except Exception as e:
-        import sys
-
         print(f"host pipeline bench failed: {e!r}", file=sys.stderr)
         host_samples_s = None
+        errors.append(f"host_pipeline: {e!r}")
 
-    print(
-        json.dumps(
-            {
-                "metric": "dla34_fused_decode_infer_images_per_sec_per_chip",
-                "value": round(img_per_sec, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(img_per_sec / TARGET, 3),
-                "train_metric": "dla34_train_step_images_per_sec_per_chip",
-                "train_value": train_img_s,
-                "host_pipeline_samples_per_sec_per_core": host_samples_s,
-            }
-        )
-    )
+    record = {
+        "metric": "dla34_fused_decode_infer_images_per_sec_per_chip",
+        "value": round(img_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / TARGET, 3),
+        "train_metric": "dla34_train_step_images_per_sec_per_chip",
+        "train_value": train_img_s,
+        "host_pipeline_samples_per_sec_per_core": host_samples_s,
+    }
+    if errors:
+        record["error"] = "; ".join(errors)
+    print(json.dumps(record))
+    if errors:
+        raise SystemExit(3)
 
 
 if __name__ == "__main__":

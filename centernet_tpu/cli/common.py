@@ -57,10 +57,12 @@ def add_data_args(parser: argparse.ArgumentParser) -> None:
         help="normalize train images to f32 on the host (default: ship "
         "uint8, normalize on device — 4x less host->device traffic)")
     parser.add_argument(
-        "--worker_mode", default="thread",
+        "--worker_mode", default="shm",
         choices=["thread", "process", "shm"],
-        help="loader workers: threads (GIL-serial write-backs cap one host "
-        "at ~170 samples/s), forked worker processes (the reference's "
+        help="loader workers (default shm — the measured-fastest transport, "
+        "BENCHMARKS.md; auto-falls back to process/thread where /dev/shm "
+        "or fork is unavailable): threads (GIL-serial write-backs cap one "
+        "host at ~170 samples/s), forked worker processes (the reference's "
         "num_workers=8 process workers), or processes + shared-memory "
         "batch transport (workers write rows straight into /dev/shm batch "
         "buffers; zero parent-side per-sample work)",

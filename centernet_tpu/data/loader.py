@@ -156,7 +156,11 @@ class DataLoader:
                 "buffers (implicit default_collate stacking); a custom "
                 "collate_fn cannot apply"
             )
-        self.worker_mode = worker_mode
+        # shm is the measured-fastest transport and the production default
+        # (BENCHMARKS.md loader study) — but it needs fork + POSIX shared
+        # memory. Environments without either (no /dev/shm, spawn-only
+        # platforms) degrade automatically instead of crashing mid-epoch.
+        self.worker_mode = self._downgrade_worker_mode(worker_mode)
         self._shm_slots = None  # parent-side [{field: (SharedMemory, view)}]
         if process_count is None:
             import jax
@@ -176,6 +180,37 @@ class DataLoader:
                     "multi-process loading requires drop_last=True (a "
                     "partial global batch cannot be evenly process-sharded)"
                 )
+
+    @staticmethod
+    def _downgrade_worker_mode(mode: str) -> str:
+        """shm -> process when shared memory is unavailable; process/shm ->
+        thread when fork is (each downgrade warns once on stderr)."""
+        import multiprocessing as mp
+        import sys
+
+        if mode == "shm":
+            try:
+                from multiprocessing import shared_memory
+
+                probe = shared_memory.SharedMemory(create=True, size=64)
+                probe.close()
+                probe.unlink()
+            except Exception as e:  # no /dev/shm or module missing
+                print(
+                    f"[loader] worker_mode='shm' unavailable ({e!r}); "
+                    "falling back to 'process'",
+                    file=sys.stderr,
+                )
+                mode = "process"
+        if mode in ("process", "shm"):
+            if "fork" not in mp.get_all_start_methods():
+                print(
+                    f"[loader] worker_mode={mode!r} needs fork workers; "
+                    "falling back to 'thread'",
+                    file=sys.stderr,
+                )
+                mode = "thread"
+        return mode
 
     def __len__(self) -> int:
         n = len(self.dataset)

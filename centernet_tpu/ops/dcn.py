@@ -410,6 +410,7 @@ def banded_deform_conv(
     radius: int = 4,
     unroll_taps: bool = False,
     acc32: bool = True,
+    dy_stack: bool = False,
 ) -> jax.Array:
     """Banded-matmul modulated deformable conv — MXU fast path (pure XLA).
 
@@ -437,6 +438,20 @@ def banded_deform_conv(
     the epilogue FMA chain doesn't fuse; ~2^-8 relative rounding on the
     2-term bilinear sums). The final tap->output matmul always accumulates
     f32. Env: ``CENTERNET_TPU_DCN_ACC=bf16`` flips it model-wide.
+
+    ``dy_stack=True`` (round-4): contract ALL n_sy row shifts in ONE einsum
+    per tap — the row stack rides the rhs channel axis ([B,H,WH,n_sy*Ci],
+    built once per layer and shared by every tap), so the [B,H,W,WH]
+    one-hot is READ ONCE per tap instead of once per (tap, dy). The r3
+    per-(tap,dy) form is HBM-bound and its dominant traffic is exactly
+    those re-reads plus the t_dy round-trips (attribution in
+    BENCHMARKS.md). wy weights for shifts outside the tap's ±r window are
+    identically zero (oyf is clamped into [-r, r-1]), so contracting the
+    full n_sy stack is numerically identical. A similar variant measured
+    2.02 vs 1.34 ms in round 3 — at radius 4 with f32 accumulation, where
+    the stacked tensor is 2x wider and every round-trip is f32; at the
+    round-4 per-scale default (fine maps r=2) with bf16 accumulation the
+    traffic math inverts. Env: ``CENTERNET_TPU_DCN_STACK=1``.
 
     Measured (v5e, B8 512^2-scale dominant layer, bf16): see BENCHMARKS.md.
     """
@@ -470,12 +485,23 @@ def banded_deform_conv(
     # >25 min to compile for the 512^2 dla_34 training step.
     sy_min = -padding - r
     sy_max = (kernel_size - 1) * dilation - padding + r
-    xrows_all = jnp.stack(
-        [
-            jax.lax.dynamic_slice(xpad, (0, lo + sy, 0, 0), (b, h, wh, ci))
-            for sy in range(sy_min, sy_max + 1)
-        ]
-    )  # [n_sy, B, H, WH, Ci]
+    n_sy = sy_max - sy_min + 1
+    if dy_stack:
+        # [B, H, WH, n_sy*Ci]: all row shifts on the rhs channel axis,
+        # built once per layer and shared across taps/the scan
+        xstack = jnp.stack(
+            [xpad[:, lo + sy : lo + sy + h, :, :]
+             for sy in range(sy_min, sy_max + 1)],
+            axis=3,
+        ).reshape(b, h, wh, n_sy * ci)
+        xrows_all = None
+    else:
+        xrows_all = jnp.stack(
+            [
+                jax.lax.dynamic_slice(xpad, (0, lo + sy, 0, 0), (b, h, wh, ci))
+                for sy in range(sy_min, sy_max + 1)
+            ]
+        )  # [n_sy, B, H, WH, Ci]
 
     kys = (jnp.arange(kk) // kernel_size) * dilation - padding
     kxs = (jnp.arange(kk) % kernel_size) * dilation - padding
@@ -502,6 +528,32 @@ def banded_deform_conv(
         mx = jnp.where(qx == x0[..., None], (1.0 - fx)[..., None], 0.0) + \
             jnp.where(qx == x0[..., None] + 1, fx[..., None], 0.0)
         mx = mx.astype(dt)
+
+        if dy_stack:
+            # ONE selection dot per tap over the full row stack (one-hot
+            # read once); the per-shift bilinear y-weights then contract
+            # the n_sy axis on the VPU. Shifts outside this tap's ±r
+            # window get wy == 0 exactly (oyf ∈ [-r, r-1]), so including
+            # them changes nothing numerically.
+            t_all = jnp.einsum(
+                "bhwq,bhqz->bhwz", mx, xstack,
+                preferred_element_type=acc_dt, precision=prec,
+            ).reshape(b, h, w, n_sy, ci)
+            # s_rel[s] = (sy_min + s) - ky: the shift relative to the tap
+            # row (ky may be a traced scan scalar — keep this jnp math)
+            s_rel = jnp.arange(n_sy, dtype=jnp.float32) + (
+                jnp.float32(sy_min) - ky
+            )
+            wy7 = (
+                jnp.where(oyf[..., None] == s_rel, (1.0 - fy)[..., None], 0.0)
+                + jnp.where(oyf[..., None] == s_rel - 1.0, fy[..., None], 0.0)
+            ).astype(acc_dt)
+            col = jnp.einsum(
+                "bhwsc,bhws->bhwc", t_all, wy7,
+                preferred_element_type=acc_dt,
+            )
+            return (col * m_k[..., None]).astype(dt)
+
         base = ky - r - sy_min  # stack offset of this tap's dy=0
 
         # dy unrolled inside the single scanned tap body: one 10-einsum
@@ -988,6 +1040,10 @@ class DCN(nn.Module):
                 # experiment knob; default keeps f32 accumulation)
                 acc32=os.environ.get("CENTERNET_TPU_DCN_ACC", "f32")
                 != "bf16",
+                # round-4 dy-stacked selection (one dot per tap; see
+                # banded_deform_conv docstring)
+                dy_stack=os.environ.get("CENTERNET_TPU_DCN_STACK", "0")
+                == "1",
             )
             if train:
                 # CENTERNET_TPU_DCN_REMAT: full (default) recomputes the
@@ -1040,6 +1096,13 @@ class DCN(nn.Module):
             k = self.kernel_size
             ci = x.shape[-1]
             kern = weight.reshape(k, k, ci, self.features).astype(x.dtype)
+            # conv runs in the compute dtype and upcasts AFTER: raw
+            # lax.conv_general_dilated (unlike jnp ops) refuses mixed
+            # operand dtypes, and with preferred_element_type=f32 its
+            # transpose feeds the f32 cotangent against the bf16 kernel —
+            # the conv-ablation TRAIN path crashed on exactly that
+            # (caught by the r4 fail-loud bench). MXU accumulation is
+            # f32 internally either way.
             y = jax.lax.conv_general_dilated(
                 x,
                 kern,
@@ -1047,8 +1110,7 @@ class DCN(nn.Module):
                 ((self.padding, self.padding), (self.padding, self.padding)),
                 rhs_dilation=(self.dilation, self.dilation),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
-            )
+            ).astype(jnp.float32)
             return y * jnp.mean(mask, axis=-1, keepdims=True) + bias
         # tap_mode: scan while training (autodiff graph stays one-tap
         # sized); unrolled at inference so XLA overlaps the 9 corner

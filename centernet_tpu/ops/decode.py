@@ -160,6 +160,16 @@ def multi_pose_decode(heat, wh, kps, reg=None, hm_hp=None, hp_offset=None, k: in
 
     Returns [B, K, 40] without ``hm_hp`` or [B, K, 40+J] with it:
     bbox4 + score1 + kps(2J) + class1 [+ hm_score J].
+
+    Documented divergence (found by the real-oracle parity test,
+    tests/test_reference_oracle.py): the reference lays out the trailing
+    hm_score block with ``hm_score.view(batch, K, num_joints)`` on a
+    [B, J, K]-contiguous tensor (decode/multi_pose.py:90) — a reshape where
+    a transpose was meant, scrambling joint scores across detections. No
+    reference consumer ever reads columns 39+ (multi_pose_post_process uses
+    0-38, soft_nms_39 swaps 5:39), so the scramble is dead data there. We
+    emit the correctly transposed [B, K, J] block instead; the oracle test
+    asserts our block equals the reference's after unscrambling.
     """
     b = heat.shape[0]
     num_joints = kps.shape[-1] // 2

@@ -306,3 +306,49 @@ def test_training_moves_dcn_offsets():
         if "conv_offset_mask" in keys:
             moved = max(moved, float(np.abs(np.asarray(leaf)).max()))
     assert moved > 1e-6, "DCN offset conv never moved from zero init"
+
+
+@pytest.mark.parametrize("radius", [2, 4])
+@pytest.mark.parametrize("unroll", [False, True])
+def test_banded_dy_stack_forward_matches(radius, unroll):
+    """dy_stack=True (CENTERNET_TPU_DCN_STACK, round-4 one-dot-per-tap
+    form) is numerically equivalent to the per-(tap,dy) baseline: shifts
+    outside a tap's ±r window carry exactly-zero wy weights."""
+    a = _args(seed=7)
+    ref = np.array(
+        banded_deform_conv(*a, 3, 1, 1, 1, radius, unroll_taps=unroll)
+    )
+    got = np.array(
+        banded_deform_conv(
+            *a, 3, 1, 1, 1, radius, unroll_taps=unroll, dy_stack=True
+        )
+    )
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=1e-5 * scale, rtol=1e-5)
+
+
+def test_banded_dy_stack_grads_match():
+    """Gradients of the dy-stacked form match the baseline banded autodiff
+    (x, offsets, mask, weight all receive identical gradients)."""
+    x, off, mask, wgt, bias = _args(seed=9, b=1)
+
+    def loss(form):
+        def f(x, off, mask, wgt):
+            return jnp.sum(
+                jnp.sin(
+                    banded_deform_conv(
+                        x, off, mask, wgt, bias, 3, 1, 1, 1, 2,
+                        dy_stack=form,
+                    )
+                )
+            )
+        return jax.grad(f, argnums=(0, 1, 2, 3))(x, off, mask, wgt)
+
+    g_ref = loss(False)
+    g_stack = loss(True)
+    for gr, gs, name in zip(g_ref, g_stack, ("x", "off", "mask", "w")):
+        scale = max(np.abs(np.array(gr)).max(), 1e-6)
+        np.testing.assert_allclose(
+            np.array(gs), np.array(gr), atol=2e-5 * scale, rtol=2e-5,
+            err_msg=name,
+        )
