@@ -26,7 +26,7 @@ from ..ops.losses import (
 )
 from ..ops.nms import soft_nms_39
 from .base import CenterNet
-from .detection import pad_to_tta_size
+from .detection import pad_to_tta_size, tta_pad_dims
 
 # Left/right joint swap for horizontal flip (reference
 # centernet_multi_pose.py:32-34).
@@ -223,12 +223,19 @@ class CenterNetMultiPose(CenterNet):
         """Same resize/pad/normalize as detection (centernet_multi_pose.py:160-185)."""
         h, w = img_hwc.shape[:2]
         new_h, new_w = int(h * scale), int(w * scale)
+        th, tw = tta_pad_dims(new_h, new_w, self.padding)
+        # reference top/left placement; bucket padding bottom/right only
+        # (see detection.prepare_image)
         pad_tb = (pad_to_tta_size(new_h, self.padding) - new_h) // 2
         pad_lr = (pad_to_tta_size(new_w, self.padding) - new_w) // 2
         img = jax.image.resize(
             jnp.asarray(img_hwc, jnp.float32), (new_h, new_w, 3), "bilinear"
         )
-        img = jnp.pad(img, ((pad_tb, pad_tb), (pad_lr, pad_lr), (0, 0)))
+        img = jnp.pad(
+            img,
+            ((pad_tb, th - new_h - pad_tb), (pad_lr, tw - new_w - pad_lr),
+             (0, 0)),
+        )
         img = (img - jnp.asarray(self.mean)) / jnp.asarray(self.std)
         meta = {"scale": [new_w / w, new_h / h], "padding": [pad_lr, pad_tb]}
         return img[None], meta
