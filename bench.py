@@ -136,7 +136,13 @@ def bench_train(task, variables) -> float:
 
     t1 = timed(4)
     t2 = timed(8)
-    return (8 - 4) / (t2 - t1)
+    if t2 > t1 * 1.05:
+        return (8 - 4) / (t2 - t1)
+    # Batch differencing degenerates when the step is overhead-dominated
+    # (e.g. the conv ablation, where t(8)~t(4) and noise can make the
+    # delta negative, seen as train_value=-540 in the r4 queue). Report
+    # the honest lower bound instead of a sign-flipped artifact.
+    return 8 / t2
 
 
 def bench_host_pipeline() -> float:

@@ -437,7 +437,8 @@ def banded_deform_conv(
     in the compute dtype instead of f32 (halves t_dy write/read traffic when
     the epilogue FMA chain doesn't fuse; ~2^-8 relative rounding on the
     2-term bilinear sums). The final tap->output matmul always accumulates
-    f32. Env: ``CENTERNET_TPU_DCN_ACC=bf16`` flips it model-wide.
+    f32. Default since r4 via the DCN module (infer 91.1 -> 103.75 img/s);
+    ``CENTERNET_TPU_DCN_ACC=f32`` restores f32 accumulation model-wide.
 
     ``dy_stack=True`` (round-4): contract ALL n_sy row shifts in ONE einsum
     per tap — the row stack rides the rhs channel axis ([B,H,WH,n_sy*Ci],
@@ -639,6 +640,226 @@ def banded_deform_conv(
             unroll=unroll,
         )
     return out + bias
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def banded_deform_conv_vjp(
+    x: jax.Array,  # [B, H, W, Ci]
+    offsets: jax.Array,  # [B, H, W, 2*KK]
+    mask: jax.Array,  # [B, H, W, KK]
+    weight: jax.Array,  # [KK*Ci, Co]
+    bias: jax.Array,
+    kernel_size: int = 3,
+    stride: int = 1,
+    padding: int = 1,
+    dilation: int = 1,
+    radius: int = 4,
+    acc32: bool = True,
+) -> jax.Array:
+    """``banded_deform_conv`` with a HAND backward (round-4 train fast path).
+
+    Same forward as the banded kernel; the custom VJP replaces autodiff's
+    transpose, whose dominant cost is materializing the one-hot cotangent
+    d_mx [B, H, W, WH] in f32 for every (tap, dy) pair and then reducing it
+    back to the two bilinear corners (the round-4 train profile attributes
+    ~60% of the dla_34 step to these transposes; the REMAT=dots OOM dump
+    shows the same tensors at [9, B, H, W, WH] blowing HBM). The hand
+    backward never forms d_mx: the offset gradient contracts directly
+    against the two corner columns,
+
+        d_fx[p] = sum_c d_col[p, c] * (x[x0+1] - x[x0])[p, c]
+                = sum_c d_col * (S_diff @ xrows)          (floor form)
+        d_fy[p] = sum_c d_col * sum_dy (1[oyf=s-1] - 1[oyf=s]) * t_dy
+
+    which is exactly the reference CUDA kernel's forward-difference
+    coordinate gradient (dmcn_get_coordinate_weight) restricted to the
+    clamp — and exactly what autodiff of the floor-form banded forward
+    computes, cheaper. Per (tap, dy) the backward runs 3 MXU einsums
+    (recompute t_dy; corner difference v_dy; input cotangent mx^T @ d_t)
+    against autodiff's 3 plus the [B,H,W,WH] f32 round-trips.
+
+    Residuals are only (x, offsets, mask, weight) — no outer
+    ``jax.checkpoint`` needed. Numerics: gradient-parity-gated against the
+    autodiff banded backward in tests/test_dcn_banded.py."""
+    return banded_deform_conv(
+        x, offsets, mask, weight, bias,
+        kernel_size, stride, padding, dilation, radius,
+        unroll_taps=False, acc32=acc32,
+    )
+
+
+def _banded_vjp_fwd(x, offsets, mask, weight, bias, kernel_size, stride,
+                    padding, dilation, radius, acc32):
+    out = banded_deform_conv_vjp(
+        x, offsets, mask, weight, bias,
+        kernel_size, stride, padding, dilation, radius, acc32,
+    )
+    return out, (x, offsets, mask, weight)
+
+
+def _banded_vjp_bwd(kernel_size, stride, padding, dilation, radius, acc32,
+                    res, g):
+    x, offsets, mask, weight = res
+    b, h, w, ci = x.shape
+    kk = kernel_size * kernel_size
+    co = weight.shape[-1]
+    assert stride == 1
+    r = radius
+    span = 2 * r + 1
+    lo = padding + r
+    hi = (kernel_size - 1) * dilation - padding + r
+    wh = w + lo + hi
+    dt = x.dtype
+    acc_dt = jnp.float32 if acc32 else dt
+    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+
+    xpad = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
+    off_raw = offsets.reshape(b, h, w, kk, 2)
+    off = jnp.clip(off_raw, -r, r - CLIP_EPS)
+    # Clip pass-through for the offset cotangent, matching autodiff of
+    # jnp.clip EXACTLY: clip lowers to minimum(hi, maximum(lo, x)) whose
+    # min/max JVPs split gradient 0.5/0.5 at exact ties (_balanced_eq).
+    # The tie case is the COMMON one here: the module-level straight-
+    # through clamp pins every out-of-range offset exactly onto the
+    # boundary before this kernel, and the 2x gradient a naive inclusive
+    # mask gives those pinned offsets measurably changes training
+    # (r=1 64^2 gate: converges under autodiff, plateaued under the
+    # inclusive-mask VJP).
+    lo_b, hi_b = -float(r), float(r) - CLIP_EPS
+    pass_thru = jnp.where(
+        (off_raw > lo_b) & (off_raw < hi_b),
+        1.0,
+        jnp.where((off_raw == lo_b) | (off_raw == hi_b), 0.5, 0.0),
+    )
+    w_taps = weight.reshape(kk, ci, co).astype(dt)
+    g32 = g.astype(jnp.float32)
+
+    sy_min = -padding - r
+    sy_max = (kernel_size - 1) * dilation - padding + r
+    n_sy = sy_max - sy_min + 1
+    xrows_all = jnp.stack(
+        [
+            jax.lax.dynamic_slice(xpad, (0, lo + sy, 0, 0), (b, h, wh, ci))
+            for sy in range(sy_min, sy_max + 1)
+        ]
+    )  # [n_sy, B, H, WH, Ci]
+
+    qx = jnp.arange(wh, dtype=jnp.int32)
+    px = jnp.arange(w, dtype=jnp.int32)
+    kys = (jnp.arange(kk) // kernel_size) * dilation - padding
+    kxs = (jnp.arange(kk) % kernel_size) * dilation - padding
+    one = jnp.float32(1.0)
+
+    def tap(dxstack, xs):
+        ky, kx, off_k, m_k, w_k = xs
+        oy = off_k[..., 0]
+        ox = off_k[..., 1]
+        oxf = jnp.floor(ox)
+        fx = (ox - oxf).astype(dt)
+        oyf = jnp.floor(oy)
+        fy = oy - oyf
+
+        x0 = px[None, None, :] + (kx + lo) + oxf.astype(jnp.int32)
+        hit_lo = qx == x0[..., None]
+        hit_hi = qx == x0[..., None] + 1
+        # forward selection matrix (bilinear-weighted) and the corner
+        # DIFFERENCE matrix (S_hi - S_lo) for the x-offset gradient
+        mx = (
+            jnp.where(hit_lo, (1.0 - fx)[..., None], 0.0)
+            + jnp.where(hit_hi, fx[..., None], 0.0)
+        ).astype(dt)
+        sdiff = (
+            jnp.where(hit_hi, one, 0.0) - jnp.where(hit_lo, one, 0.0)
+        ).astype(dt)
+
+        # cotangent into the (unmasked / masked) tap column
+        gk = jnp.einsum(
+            "bhwo,co->bhwc", g32, w_k.astype(jnp.float32),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        dcol32 = gk * m_k[..., None].astype(jnp.float32)
+        dcol = dcol32.astype(dt)
+
+        col = jnp.zeros((b, h, w, ci), acc_dt)  # recomputed forward column
+        ux = jnp.zeros((b, h, w, ci), acc_dt)   # sum_dy wy * (t_hi - t_lo)
+        uy = jnp.zeros((b, h, w, ci), acc_dt)   # sum_dy (I_hi - I_lo) * t_dy
+        base = ky - r - sy_min
+        for dy in range(span):
+            xrows = jax.lax.dynamic_index_in_dim(
+                xrows_all, base + dy, axis=0, keepdims=False
+            )
+            t_dy = jnp.einsum(
+                "bhwq,bhqc->bhwc", mx, xrows,
+                preferred_element_type=acc_dt, precision=prec,
+            )
+            v_dy = jnp.einsum(
+                "bhwq,bhqc->bhwc", sdiff, xrows,
+                preferred_element_type=acc_dt, precision=prec,
+            )
+            s_rel = float(dy - r)
+            i_lo = oyf == s_rel
+            i_hi = oyf == s_rel - 1.0
+            wy = (
+                jnp.where(i_lo, 1.0 - fy, 0.0) + jnp.where(i_hi, fy, 0.0)
+            ).astype(acc_dt)
+            iy = (
+                jnp.where(i_hi, one, 0.0) - jnp.where(i_lo, one, 0.0)
+            ).astype(acc_dt)
+            col = col + wy[..., None] * t_dy
+            ux = ux + wy[..., None] * v_dy
+            uy = uy + iy[..., None] * t_dy
+
+            # input cotangent for this row shift: mx^T @ (wy * d_col)
+            d_t = (wy[..., None].astype(dt)) * dcol
+            dxr = jnp.einsum(
+                "bhwq,bhwc->bhqc", mx, d_t,
+                preferred_element_type=acc_dt, precision=prec,
+            )
+            dxstack = dxstack.at[base + dy].add(dxr)
+
+        # offset gradients: contract the accumulated corner differences
+        # against the (dy-independent) masked cotangent
+        dtx = jnp.sum(ux.astype(jnp.float32) * dcol32, axis=-1)
+        dty = jnp.sum(uy.astype(jnp.float32) * dcol32, axis=-1)
+        dmask_k = jnp.sum(col.astype(jnp.float32) * gk, axis=-1)
+        colm = (col * m_k[..., None].astype(acc_dt)).astype(dt)
+        dw_k = jnp.einsum(
+            "bhwc,bhwo->co", colm, g.astype(dt),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        return dxstack, (dty, dtx, dmask_k, dw_k)
+
+    dxstack0 = jnp.zeros((n_sy, b, h, wh, ci), acc_dt)
+    dxstack, (dty, dtx, dmask_t, dw) = jax.lax.scan(
+        tap,
+        dxstack0,
+        (
+            kys,
+            kxs,
+            jnp.moveaxis(off, 3, 0),  # [KK, B, H, W, 2]
+            jnp.moveaxis(mask, 3, 0),  # [KK, B, H, W]
+            w_taps,
+        ),
+    )
+
+    # fold the per-row-shift cotangent stack back onto the padded canvas
+    dxpad = jnp.zeros((b, h + lo + hi, wh, ci), acc_dt)
+    for s in range(n_sy):
+        sy = sy_min + s
+        dxpad = dxpad.at[:, lo + sy : lo + sy + h, :, :].add(dxstack[s])
+    dx = dxpad[:, lo : lo + h, lo : lo + w, :].astype(x.dtype)
+
+    doff = jnp.stack([dty, dtx], axis=-1)  # [KK, B, H, W, 2] (dy, dx)
+    doff = jnp.moveaxis(doff, 0, 3) * pass_thru
+    doff = doff.reshape(b, h, w, 2 * kk).astype(offsets.dtype)
+    dmask = jnp.moveaxis(dmask_t, 0, 3).astype(mask.dtype)
+    dweight = dw.reshape(kk * ci, co).astype(weight.dtype)
+    # bias is stored alongside the weight (same param dtype)
+    dbias = jnp.sum(g32, axis=(0, 1, 2)).astype(weight.dtype)
+    return dx, doff, dmask, dweight, dbias
+
+
+banded_deform_conv_vjp.defvjp(_banded_vjp_fwd, _banded_vjp_bwd)
 
 
 WINDOW = 8  # floating-window side (see window_deform_conv)
@@ -923,7 +1144,27 @@ class DCN(nn.Module):
             # 0.863; 32^2 C256 banded 0.356 / gather 0.592 — gather's
             # index-rate cost only wins in the middle band. Training always
             # uses banded (gather's backward is a TPU scatter-add).
-            if train or x.shape[2] >= 96 or x.shape[2] <= 32:
+            #
+            # Round-4 re-measurement: the Pallas lane-gather kernel's
+            # ~30-45 ms dispatch tax (round 2, axon runtime) is GONE —
+            # chained-marginal timing shows 2.89 ms/call vs banded 8.45 at
+            # the dominant 128^2 C64 r=2 shape (benchmarks/
+            # bench_dcn_pallas_sweep.py). Inference on a real TPU
+            # dispatches to it whenever the kernel's constraints hold
+            # (stride 1, feature width <= 128 for the single-vreg lane
+            # gather). CENTERNET_TPU_DCN_PALLAS=0 opts out (the spatial
+            # serving mode does: a pallas_call is opaque to GSPMD's H
+            # partitioner, parallel/spatial.py).
+            if train:
+                impl = "banded"
+            elif (
+                self.stride == 1
+                and x.shape[2] <= 128
+                and jax.default_backend() == "tpu"
+                and os.environ.get("CENTERNET_TPU_DCN_PALLAS", "1") == "1"
+            ):
+                impl = "pallas"
+            elif x.shape[2] >= 96 or x.shape[2] <= 32:
                 impl = "banded"
             else:
                 impl = "gather"
@@ -1036,9 +1277,15 @@ class DCN(nn.Module):
                 dilation=self.dilation,
                 radius=radius,
                 unroll_taps=not train,
-                # bf16 accumulation of the selection einsums (measured
-                # experiment knob; default keeps f32 accumulation)
-                acc32=os.environ.get("CENTERNET_TPU_DCN_ACC", "f32")
+                # Compute-dtype accumulation of the selection einsums
+                # (default since r4: infer 91.1 -> 103.75 img/s,
+                # BENCHMARKS.md). Numerically benign for THESE einsums:
+                # each selection row has <=2 nonzero bilinear weights, so
+                # "accumulation" is one add — no length-WH error growth —
+                # and f32 models still accumulate f32 (acc_dt falls back
+                # to x.dtype). CENTERNET_TPU_DCN_ACC=f32 restores f32
+                # accumulation under bf16 models.
+                acc32=os.environ.get("CENTERNET_TPU_DCN_ACC", "bf16")
                 != "bf16",
                 # round-4 dy-stacked selection (one dot per tap; see
                 # banded_deform_conv docstring)
@@ -1046,6 +1293,21 @@ class DCN(nn.Module):
                 == "1",
             )
             if train:
+                # Hand backward (default since r4: dla_34 train 16.7 ->
+                # 29.65 img/s, BENCHMARKS.md): residuals = inputs only;
+                # never materializes the [B,H,W,WH] one-hot cotangent —
+                # see banded_deform_conv_vjp. Gradient-parity-gated
+                # against autodiff (tests/test_dcn_banded.py);
+                # CENTERNET_TPU_DCN_BWD=autodiff keeps the plain
+                # transpose path for comparison.
+                if os.environ.get("CENTERNET_TPU_DCN_BWD", "vjp") == "vjp":
+                    return banded_deform_conv_vjp(
+                        x, offsets, mask, weight, bias,
+                        self.kernel_size, self.stride, self.padding,
+                        self.dilation, radius,
+                        os.environ.get("CENTERNET_TPU_DCN_ACC", "bf16")
+                        != "bf16",
+                    )
                 # CENTERNET_TPU_DCN_REMAT: full (default) recomputes the
                 # whole sampling in the backward; dots saves the einsum
                 # outputs (faster bwd, more HBM)

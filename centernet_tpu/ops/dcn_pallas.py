@@ -162,7 +162,13 @@ def _fwd_kernel(x_hbm, om_ref, w_ref, b_ref, dys_ref, out_ref,
         acc_ref[...] += jax.lax.dot_general(
             col_ref[...].astype(dt), w_ref[k],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [th, w2, co]
+            preferred_element_type=jnp.float32,
+            # f32 operands at default precision run as bf16 MXU passes
+            # (~3e-3 rel error) — same convention as the banded einsums
+            # (ops/dcn.py): exact f32 when the model is f32, fast bf16
+            # otherwise.
+            precision=(jax.lax.Precision.HIGHEST
+                       if dt == jnp.float32 else None))  # [th, w2, co]
     out_ref[0] = acc_ref[...] + b_ref[0].astype(jnp.float32)
 
 
@@ -208,7 +214,7 @@ def pallas_deform_conv_fwd(x, offsets, mask, weight, bias, kernel_size=3,
         kernel,
         grid=(b, h // th),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, th, 3 * kk, w2), lambda bi, ti: (bi, ti, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -19,6 +19,7 @@ the single-device path for res/resdcn/dla backbones on a virtual mesh in
 ``tests/test_spatial_sharding.py``.
 """
 
+import os
 from typing import Callable
 
 import jax
@@ -61,6 +62,13 @@ def make_spatial_infer(task, mesh: Mesh, flip: bool = False) -> Callable:
                 f"image H {h} must be divisible by the model axis "
                 f"({n_model}) for spatial sharding"
             )
+
+    # The Pallas DCN fast path is opaque to GSPMD's spatial partitioner
+    # (a pallas_call can't be split along H by sharding propagation);
+    # force the XLA-native impl set, whose einsums/slices partition with
+    # halo exchanges. Process-wide, matching this mode's process-lifetime
+    # use in the eval CLI.
+    os.environ["CENTERNET_TPU_DCN_PALLAS"] = "0"
 
     jitted = jax.jit(
         lambda v, x: task._infer_decode(v, x, flip),

@@ -7,16 +7,22 @@ pjit/shard_map programs without TPU hardware.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# CENTERNET_TPU_TEST_PLATFORM=tpu runs the suite against the real chip
+# (needed for the TPU-only Pallas kernel gates, tests/test_dcn_pallas.py —
+# the env var matters because some runtimes pre-import jax, so a plain
+# JAX_PLATFORMS export is silently too late).
+_platform = os.environ.get("CENTERNET_TPU_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if _platform == "cpu" and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if _platform == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite is compile-dominated on CPU (the
 # dla_34 train/TTA graphs alone cost ~5 min); cache compiled executables

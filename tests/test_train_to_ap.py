@@ -39,7 +39,16 @@ from centernet_tpu.utils.coco_eval import CocoEvaluator
 SIZE = 64
 B = 8
 N_BOXES = 2
-STEPS = 150
+# Convergence-time budget, not a fixed trajectory pin: the early loss
+# trajectory on this 8-image toy is chaotic w.r.t. sub-1e-6 gradient
+# perturbations (same seed, same code: hm_loss@150 measured 0.05 on the
+# 8-core CPU mesh vs 0.60 on TPU under the autodiff backward, and 0.21
+# under the bit-parity-gated hand VJP). Every healthy configuration
+# reaches hm < 0.05 well before 400 (autodiff ~150, hand VJP ~250,
+# measured); the known pathologies this gate exists to catch (DCN
+# semantics divergence, offset exile) plateau at hm ~0.7 forever.
+MAX_STEPS = 400
+HM_CONVERGED = 0.05
 
 
 def _make_dataset(rng, size=SIZE, box_lo=14, box_hi=26):
@@ -132,14 +141,18 @@ def test_train_improves_ap(monkeypatch):
     batch = trainer._put_batch((norm, tgt))
 
     state = trainer.state
-    for s in range(STEPS):
+    hm = float("inf")
+    for s in range(MAX_STEPS):
         state, stats = trainer._train_step(state, batch)
         # fetch a scalar every few steps: hundreds of unsynced dispatches
         # exhaust the single-core CPU runtime's queue and abort the process
         if (s + 1) % 25 == 0:
             assert np.isfinite(float(stats["loss"]))
+            hm = float(stats["hm_loss"])
+            if hm < HM_CONVERGED:
+                break
 
-    assert float(stats["hm_loss"]) < 0.15, dict(
+    assert hm < HM_CONVERGED, dict(
         (k, float(v)) for k, v in stats.items()
     )
 
@@ -163,9 +176,11 @@ def test_train_improves_ap_production_radius():
     Thresholds calibrated on the CI box (CPU, f32, seed 11, this exact
     setup, 2026-08): AP trajectory 0.35 @ step 100 -> 0.76 @ 150 ->
     0.99 @ 200 -> saturated ~0.97-1.0 through 600; hm_loss 0.0101 @ 200.
-    200 steps sits past the steep rise, so the 0.5 gate has ~0.49 margin
+    200 steps sits past the steep rise under the autodiff backward;
+    budgeted to 2x that with convergence early-exit (see MAX_STEPS note:
+    the early trajectory is chaotic across backends/backwards)
     (~2.2 s/step on the 1-core box)."""
-    steps = 200
+    steps = 400
     size = 128
     rng = np.random.RandomState(11)
     imgs, boxes, classes, valid = _make_dataset(rng, size=size, box_lo=20,
@@ -195,12 +210,16 @@ def test_train_improves_ap_production_radius():
     batch = trainer._put_batch((norm, tgt))
 
     state = trainer.state
+    hm = float("inf")
     for s in range(steps):
         state, stats = trainer._train_step(state, batch)
         if (s + 1) % 25 == 0:
             assert np.isfinite(float(stats["loss"]))
+            hm = float(stats["hm_loss"])
+            if hm < HM_CONVERGED:
+                break
 
-    assert float(stats["hm_loss"]) < 0.2, dict(
+    assert hm < HM_CONVERGED, dict(
         (k, float(v)) for k, v in stats.items()
     )
 

@@ -26,7 +26,13 @@ from centernet_tpu.parallel.trainer import Trainer
 
 SIZE = 64
 B = 8
-STEPS = 200
+# Convergence budget with early exit, not a fixed trajectory pin — the
+# early loss trajectory on a tiny overfit set is chaotic w.r.t. sub-1e-6
+# gradient perturbations (backend and DCN-backward choice both shift
+# hm_loss@200 by >4x; see tests/test_train_to_ap.py MAX_STEPS note). The
+# pathologies this gate catches plateau at hm ~0.7 forever.
+MAX_STEPS = 500
+HM_CONVERGED = 0.1
 J = 17
 
 # fixed relative joint layout inside a box: a 17-point serpentine grid
@@ -138,12 +144,16 @@ def test_train_improves_pose_ap(monkeypatch):
     batch = trainer._put_batch((norm, target))
 
     state = trainer.state
-    for s in range(STEPS):
+    hm = float("inf")
+    for s in range(MAX_STEPS):
         state, stats = trainer._train_step(state, batch)
         if (s + 1) % 25 == 0:
             assert np.isfinite(float(stats["loss"]))
+            hm = float(stats["hm_loss"])
+            if hm < HM_CONVERGED:
+                break
 
-    assert float(stats["hm_loss"]) < 0.2, dict(
+    assert hm < HM_CONVERGED, dict(
         (k, float(v)) for k, v in stats.items()
     )
 
