@@ -87,7 +87,9 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
-BASELINE_A100_IMG_S = 208.0  # assumed reference torch DLA-34 batched infer
+# Blessed by convention in BASELINE.md ("The blessed throughput baseline
+# constant") — change BOTH together if a real A100 measurement ever lands.
+BASELINE_A100_IMG_S = 208.0
 TARGET = 2.0 * BASELINE_A100_IMG_S
 
 B_SMALL, B_LARGE = 4, 16
@@ -245,6 +247,33 @@ def main():
         host_samples_s = None
         errors.append(f"host_pipeline: {e!r}")
 
+    # Self-describing record (VERDICT r4 item 8): the active config and
+    # the per-layer DCN impls the "auto" selector ACTUALLY dispatched at
+    # trace time, so a default flip is visible in the artifact itself and
+    # BENCH_r*.json rounds stay comparable.
+    from centernet_tpu.ops.dcn import DISPATCH_LOG
+
+    def _dispatch(train_flag):
+        return sorted(
+            f"{h}x{w} C{ci}->{co} {impl} r={r}"
+            for h, w, ci, co, impl, r, tr in DISPATCH_LOG
+            if tr == train_flag
+        )
+
+    config = {
+        "stem": os.environ.get("CENTERNET_TPU_DLA_STEM", "blocked"),
+        "dcn_impl_env": os.environ.get("CENTERNET_TPU_DCN_IMPL", "auto"),
+        "dcn_bwd": os.environ.get("CENTERNET_TPU_DCN_BWD", "vjp"),
+        "dcn_acc": os.environ.get("CENTERNET_TPU_DCN_ACC", "bf16"),
+        "dcn_radius": os.environ.get("CENTERNET_TPU_DCN_RADIUS", "4"),
+        "dcn_radius_fine": os.environ.get(
+            "CENTERNET_TPU_DCN_RADIUS_FINE", "2"
+        ),
+        "tta_bucket": os.environ.get("CENTERNET_TPU_TTA_BUCKET", "128"),
+        "dcn_dispatch_infer": _dispatch(False),
+        "dcn_dispatch_train": _dispatch(True),
+    }
+
     record = {
         "metric": "dla34_fused_decode_infer_images_per_sec_per_chip",
         "value": round(img_per_sec, 2),
@@ -253,6 +282,7 @@ def main():
         "train_metric": "dla34_train_step_images_per_sec_per_chip",
         "train_value": train_img_s,
         "host_pipeline_samples_per_sec_per_core": host_samples_s,
+        "config": config,
     }
     if errors:
         record["error"] = "; ".join(errors)

@@ -27,6 +27,7 @@ Worker modes:
 
 from __future__ import annotations
 
+import functools
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -182,9 +183,13 @@ class DataLoader:
                 )
 
     @staticmethod
+    @functools.lru_cache(maxsize=None)
     def _downgrade_worker_mode(mode: str) -> str:
         """shm -> process when shared memory is unavailable; process/shm ->
-        thread when fork is (each downgrade warns once on stderr)."""
+        thread when fork is. Cached per (mode) so the SharedMemory
+        create/unlink probe syscalls and the stderr warning genuinely run
+        once per process, not on every DataLoader construction (round-4
+        advisor finding)."""
         import multiprocessing as mp
         import sys
 

@@ -30,9 +30,10 @@ orders of magnitude slower. The implementation hierarchy:
   floating window + one-hot MXU readout; exact unless a position's tap
   spread exceeds the window.
 * ``dcn_pallas.pallas_deform_conv_fwd`` — exact lane-gather Pallas kernel;
-  numerically correct but unusable on the current axon runtime (~30-45 ms
-  per-call invocation tax + ~2% of ideal codegen throughput — measured,
-  see BENCHMARKS.md "Pallas DCN investigation").
+  the eval-time fast path on real TPUs for layers where it fits VMEM and
+  wins (round-4 re-measurement: ~2.9x faster than banded at the dominant
+  fine scale; dispatch gated on ``pallas_dcn_fits`` after the round-4
+  Ci=512 scoped-VMEM compile abort — see dcn_pallas.py docstring).
 * plain-conv ablation (CENTERNET_TPU_DCN_IMPL=conv) for perf attribution.
 
 ``CENTERNET_TPU_DCN_IMPL`` selects banded|stencil|gather|window|pallas|conv;
@@ -45,11 +46,48 @@ semantics.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# Scoped Pallas opt-out for the eval-time "auto" dispatch. A contextvar —
+# NOT an os.environ mutation — so disabling the Pallas path for one trace
+# (e.g. the spatially-sharded serving mode, whose GSPMD partitioner cannot
+# split a pallas_call along H) cannot leak into later traces in the same
+# process or reorder semantics by trace order (round-4 advisor finding).
+_PALLAS_ALLOWED = contextvars.ContextVar(
+    "centernet_tpu_allow_pallas_dcn", default=True
+)
+
+
+@contextlib.contextmanager
+def no_pallas_dcn():
+    """Disable the Pallas DCN dispatch for traces entered in this scope."""
+    token = _PALLAS_ALLOWED.set(False)
+    try:
+        yield
+    finally:
+        _PALLAS_ALLOWED.reset(token)
+
+
+# Trace-time dispatch log: one entry per DCN layer per trace, recording
+# which implementation the "auto" selector actually chose at that layer
+# shape. bench.py embeds the deduplicated log in BENCH_r*.json so a
+# dispatch-default flip is visible in the benchmark artifact itself
+# (round-4 postmortem: a silent default flip crashed the driver bench).
+# Bounded: entries dedupe by shape, and tracing happens once per distinct
+# input shape.
+DISPATCH_LOG: list = []
+
+
+def _log_dispatch(h, w, ci, co, impl, radius, train):
+    entry = (h, w, ci, co, impl, radius, bool(train))
+    if entry not in DISPATCH_LOG:
+        DISPATCH_LOG.append(entry)
 
 # torch BN momentum 0.1 == flax decay 0.9 (kept local: importing
 # models.layers here would create a package-import cycle).
@@ -1138,36 +1176,6 @@ class DCN(nn.Module):
         # sets the clamp (default 4; clamp-vs-exact skew quantified in
         # benchmarks/bench_dcn_skew.py).
         impl = os.environ.get("CENTERNET_TPU_DCN_IMPL", "auto")
-        if impl == "auto":
-            # Per-scale shootout (r=2, bf16, v5e, round 3): 128^2 C64
-            # banded 1.34 / gather 2.74; 64^2 C128 gather 0.344 / banded
-            # 0.863; 32^2 C256 banded 0.356 / gather 0.592 — gather's
-            # index-rate cost only wins in the middle band. Training always
-            # uses banded (gather's backward is a TPU scatter-add).
-            #
-            # Round-4 re-measurement: the Pallas lane-gather kernel's
-            # ~30-45 ms dispatch tax (round 2, axon runtime) is GONE —
-            # chained-marginal timing shows 2.89 ms/call vs banded 8.45 at
-            # the dominant 128^2 C64 r=2 shape (benchmarks/
-            # bench_dcn_pallas_sweep.py). Inference on a real TPU
-            # dispatches to it whenever the kernel's constraints hold
-            # (stride 1, feature width <= 128 for the single-vreg lane
-            # gather). CENTERNET_TPU_DCN_PALLAS=0 opts out (the spatial
-            # serving mode does: a pallas_call is opaque to GSPMD's H
-            # partitioner, parallel/spatial.py).
-            if train:
-                impl = "banded"
-            elif (
-                self.stride == 1
-                and x.shape[2] <= 128
-                and jax.default_backend() == "tpu"
-                and os.environ.get("CENTERNET_TPU_DCN_PALLAS", "1") == "1"
-            ):
-                impl = "pallas"
-            elif x.shape[2] >= 96 or x.shape[2] <= 32:
-                impl = "banded"
-            else:
-                impl = "gather"
         radius = int(os.environ.get("CENTERNET_TPU_DCN_RADIUS", "4"))
         # Per-scale clamp, DEFAULT radius 2 on FINE maps (min dim >= 96
         # cells): fine-scale layers dominate DCN cost (~60% of the banded
@@ -1189,6 +1197,56 @@ class DCN(nn.Module):
         # toy resolutions — BENCHMARKS.md round-3 findings). Production maps
         # (>= 16 cells at 512^2) are unaffected by the cap.
         radius = max(1, min(radius, min(x.shape[1], x.shape[2]) - 1))
+        if impl == "auto":
+            # Per-scale shootout (r=2, bf16, v5e, round 3): 128^2 C64
+            # banded 1.34 / gather 2.74; 64^2 C128 gather 0.344 / banded
+            # 0.863; 32^2 C256 banded 0.356 / gather 0.592 — gather's
+            # index-rate cost only wins in the middle band. Training always
+            # uses banded (gather's backward is a TPU scatter-add).
+            #
+            # Round-4 re-measurement: the Pallas lane-gather kernel's
+            # ~30-45 ms dispatch tax (round 2, axon runtime) is GONE —
+            # chained-marginal timing shows it ~2.9x faster than banded at
+            # the dominant 128^2 C64 r=2 shape (benchmarks/
+            # bench_dcn_pallas_sweep.py). Round-4 POSTMORTEM: gating only
+            # on stride/width let the Ci=512 proj layer through, whose
+            # Mosaic stack exceeds the kernel's own VMEM limit and ABORTS
+            # the full-model XLA compile (BENCH_r04 rc=1). Eval dispatch
+            # now additionally requires (a) pallas_dcn_fits — the kernel's
+            # calibrated scoped-VMEM model — and (b) the measured-win band
+            # (W >= 64: at 16-32px maps the lane padding to 128 wastes
+            # 4-8x of the gather work and banded already runs ~0.35 ms).
+            # CENTERNET_TPU_DCN_PALLAS=0 opts out globally;
+            # no_pallas_dcn() scopes the opt-out to one trace (the spatial
+            # serving mode uses it: a pallas_call is opaque to GSPMD's H
+            # partitioner, parallel/spatial.py).
+            use_pallas = False
+            if (
+                not train
+                and jax.default_backend() == "tpu"
+                and os.environ.get("CENTERNET_TPU_DCN_PALLAS", "1") == "1"
+                and _PALLAS_ALLOWED.get()
+                and x.shape[2] >= 64
+            ):
+                from .dcn_pallas import pallas_dcn_fits
+
+                use_pallas = pallas_dcn_fits(
+                    x.shape[1], x.shape[2], x.shape[-1], self.features,
+                    self.dtype, radius, self.kernel_size, self.stride,
+                    self.padding, self.dilation,
+                )
+            if train:
+                impl = "banded"
+            elif use_pallas:
+                impl = "pallas"
+            elif x.shape[2] >= 96 or x.shape[2] <= 32:
+                impl = "banded"
+            else:
+                impl = "gather"
+        _log_dispatch(
+            x.shape[1], x.shape[2], x.shape[-1], self.features, impl,
+            radius, train,
+        )
         # The surrounding BN/ReLU layers run their affine math in f32; make
         # sure the deformable sampling + its matmuls run in the model's
         # compute dtype (a silent f32 input makes every selection einsum a

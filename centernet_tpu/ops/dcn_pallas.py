@@ -28,17 +28,24 @@ Kernel layout: tiles are [rows(plane), C(sublane), W(lane)], so
     CUDA kernel),
   - per tap the accumulated column block contracts with W_k on the MXU.
 
-STATUS (round 2, measured honestly — single-call scalar-fetch timing):
-numerically exact, but NOT viable on the current axon runtime: every
-pallas_call pays a ~30-45 ms invocation tax and Mosaic executes the body
-at ~250 GB/s effective VMEM bandwidth / ~4 Tflop/s in-kernel MXU (~2% of
-the chip), giving ~360 ms/img/layer marginal vs 2.4 ms for the XLA dense
-stencil.  The production fast path is ``ops.dcn.banded_deform_conv`` (the
-same banded-selection idea expressed as XLA batched matmuls); this kernel
-is kept for runtimes with sane Pallas dispatch.  Forward only.
+STATUS (round 4 re-measurement, chained-marginal timing): the round-2
+~30-45 ms per-call invocation tax on the axon runtime is GONE; the kernel
+beats the banded XLA path ~2.9x at the dominant fine scale (128^2 C64,
+benchmarks/bench_dcn_pallas_sweep.py) and is the eval-time dispatch
+target for shapes where it both fits and wins (``pallas_dcn_fits``).
+Forward only (training uses the banded path's hand VJP).
 
 Constraints: stride 1, same-size output (the only config the model zoo
-uses), feature width <= 128 (single-vreg lane gather).
+uses), feature width <= 128 (single-vreg lane gather), and a VMEM-fit
+requirement: Mosaic allocates scoped-VMEM stack slots for the unrolled
+(tap x row-shift) loop's [th, Ci, 128] temporaries, so the footprint
+scales with th*Ci — at dla_34's Ci=512 proj layer the round-4 kernel
+exceeded its own 100MB ``vmem_limit_bytes`` and XLA aborted the FULL
+MODEL compile (BENCH_r04 rc=1: "Scoped allocation 102.20M > 100.08M").
+``_plan`` now models that footprint and shrinks the row tile until it
+fits; ``pallas_dcn_fits`` exposes the same check (plus a measured-win
+shape heuristic) to the dispatch layer in ops/dcn.py so oversized layers
+fall back to the banded/gather XLA paths instead of crashing the compile.
 """
 
 from __future__ import annotations
@@ -51,16 +58,78 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _plan(h, w, ci, dtype):
-    """Tile/pad plan shared by forward and backward."""
-    th = 1
-    for cand in (16, 8, 4, 2, 1):
-        if h % cand == 0:
-            th = cand
-            break
+# Scoped-VMEM budget for the kernel. The pallas_call pins
+# vmem_limit_bytes at 100MB; plan against 80MB so the empirical stack
+# model below has 20% headroom (a wrong estimate degrades to a compile
+# error in an isolated layer test, never a crash of the default path —
+# the dispatch predicate uses the same plan).
+_VMEM_LIMIT = 100 * 1024 * 1024
+_VMEM_BUDGET = 80 * 1024 * 1024
+
+
+def _vmem_bytes(th, w2, ci, co, kk, span, lo, hi, itemsize):
+    """Estimated scoped-VMEM footprint of ``_fwd_kernel`` at this plan.
+
+    Components XLA charges against ``vmem_limit_bytes``:
+      * pipelined blocks (om in + out, double-buffered) and whole-array
+        VMEM operands (w_taps, bias2, dys),
+      * scratch (x_tile, col, acc),
+      * Mosaic's STACK for the unrolled (tap x dy) loop temporaries —
+        the term that blew up round 4. Calibrated on the observed
+        failure: th=16, ci=512, co=256, span=10, bf16-pack reported
+        102.20M total, i.e. ~84M stack ~= 20 live [th, ci, 128] f32
+        buffers. Modeled as 2.2*span such buffers (scales with the
+        unroll depth; ~10% conservative at the calibration point) plus
+        2 [th, 128, co] f32 dot results.
+    """
+    blocks = 2 * th * 3 * kk * w2 * 4  # om (f32, double-buffered)
+    blocks += 2 * th * w2 * co * 4  # out (f32, double-buffered)
+    blocks += kk * ci * co * itemsize + th * w2 * co * 4 + span * w2 * 4
+    scratch = (th + lo + hi) * ci * w2 * itemsize  # x_tile
+    scratch += th * ci * w2 * 4  # col
+    scratch += th * w2 * co * 4  # acc
+    stack = int(2.2 * span) * th * ci * w2 * 4 + 2 * th * w2 * co * 4
+    return blocks + scratch + stack
+
+
+def _plan(h, w, ci, co, dtype, kk=9, radius=4, lo=None, hi=None):
+    """Tile plan: largest row tile whose estimated scoped-VMEM footprint
+    fits ``_VMEM_BUDGET``. Returns (th, w2, pack) or None if even th=1
+    does not fit (callers then fall back to an XLA impl)."""
     w2 = 128  # lane width; callers guarantee w <= 128
     pack = dtype == jnp.bfloat16 and ci % 2 == 0
-    return th, w2, pack
+    span = 2 * radius + 1
+    if lo is None:
+        lo = 1 + radius  # padding + radius (3x3 pad-1 default)
+    if hi is None:
+        hi = 1 + radius
+    itemsize = jnp.dtype(dtype).itemsize
+    for cand in (16, 8, 4, 2, 1):
+        if h % cand:
+            continue
+        if _vmem_bytes(cand, w2, ci, co, kk, span, lo, hi,
+                       itemsize) <= _VMEM_BUDGET:
+            return cand, w2, pack
+    return None
+
+
+def pallas_dcn_fits(h, w, ci, co, dtype, radius=4, kernel_size=3,
+                    stride=1, padding=1, dilation=1):
+    """True iff the Pallas forward can COMPILE at this layer shape
+    (stride-1 same-size, single-vreg lane width, VMEM-fitting plan).
+
+    This is the safety half of the dispatch decision; ops/dcn.py combines
+    it with a measured-win heuristic (bench_dcn_pallas_sweep.py) to pick
+    the per-layer eval impl."""
+    if stride != 1 or w > 128:
+        return False
+    lo = padding + radius
+    hi = (kernel_size - 1) * dilation - padding + radius
+    if lo < 0 or hi < 0:
+        return False
+    return _plan(h, w, ci, co, jnp.dtype(dtype),
+                 kk=kernel_size * kernel_size, radius=radius,
+                 lo=lo, hi=hi) is not None
 
 
 def _gather_corners(x_tile, lo, sy, th, ci, pack, idx0, idx1):
@@ -98,7 +167,7 @@ def _tap_geometry(om, k, kk, ksize, pad, dil, r, w, w2, th, ci, pack,
     whereas computing 5+ separate [th, 1, w2] ops per (tap, dy) lowers to
     pathological 1-sublane vector code (measured ~10x slower).
     """
-    span = 2 * r + 2
+    span = 2 * r + 1
     kx = (k % ksize) * dil - pad
     oy = jnp.clip(om[:, 2 * k:2 * k + 1, :], -float(r), float(r))
     ox = jnp.clip(om[:, 2 * k + 1:2 * k + 2, :], -float(r), float(r))
@@ -134,7 +203,7 @@ def _fwd_kernel(x_hbm, om_ref, w_ref, b_ref, dys_ref, out_ref,
     copy.start()
 
     kk = ksize * ksize
-    span = 2 * r + 2
+    span = 2 * r + 1  # tight: offsets clamped to [-r, r - CLIP_EPS]
     dt = x_tile.dtype
     lanes = jax.lax.broadcasted_iota(jnp.int32, (th, 1, w2), 2)
     om = om_ref[0]  # [th, 3kk, w2] f32
@@ -188,9 +257,19 @@ def pallas_deform_conv_fwd(x, offsets, mask, weight, bias, kernel_size=3,
     co = weight.shape[-1]
     assert stride == 1, "pallas DCN supports stride-1 same-size"
     assert w <= 128, "pallas DCN requires feature width <= 128"
+    # Tight row-shift span 2r+1 (not 2r+2): the module clamps offsets to
+    # [-r, r - CLIP_EPS] (ops/dcn.py), so floor(oy) <= r-1 and the
+    # bilinear never touches row shift r+1 — same ~10-17% cut the banded
+    # path took in round 3.
     lo = padding + radius
-    hi = (kernel_size - 1) * dilation - padding + radius + 1
-    th, w2, pack = _plan(h, w, ci, x.dtype)
+    hi = (kernel_size - 1) * dilation - padding + radius
+    plan = _plan(h, w, ci, co, x.dtype, kk=kk, radius=radius, lo=lo, hi=hi)
+    if plan is None:
+        raise ValueError(
+            f"pallas DCN does not fit VMEM at shape H{h} W{w} Ci{ci} "
+            f"Co{co} r{radius}; gate dispatch on pallas_dcn_fits()"
+        )
+    th, w2, pack = plan
 
     xt = jnp.transpose(x, (0, 1, 3, 2))  # [B, H, C, W]
     xt = jnp.pad(xt, ((0, 0), (lo, hi), (0, 0), (0, w2 - w)))
@@ -201,7 +280,7 @@ def pallas_deform_conv_fwd(x, offsets, mask, weight, bias, kernel_size=3,
     w_taps = weight.reshape(kk, ci, co).astype(x.dtype)
     bias2 = jnp.broadcast_to(
         bias.astype(jnp.float32).reshape(1, 1, co), (th, w2, co))
-    span = 2 * radius + 2
+    span = 2 * radius + 1
     dys = jnp.broadcast_to(
         (jnp.arange(span, dtype=jnp.float32) - float(radius))[:, None],
         (span, w2),

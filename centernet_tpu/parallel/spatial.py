@@ -19,11 +19,12 @@ the single-device path for res/resdcn/dla backbones on a virtual mesh in
 ``tests/test_spatial_sharding.py``.
 """
 
-import os
 from typing import Callable
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.dcn import no_pallas_dcn
 
 __all__ = ["make_spatial_infer", "spatial_image_sharding"]
 
@@ -66,10 +67,9 @@ def make_spatial_infer(task, mesh: Mesh, flip: bool = False) -> Callable:
     # The Pallas DCN fast path is opaque to GSPMD's spatial partitioner
     # (a pallas_call can't be split along H by sharding propagation);
     # force the XLA-native impl set, whose einsums/slices partition with
-    # halo exchanges. Process-wide, matching this mode's process-lifetime
-    # use in the eval CLI.
-    os.environ["CENTERNET_TPU_DCN_PALLAS"] = "0"
-
+    # halo exchanges. Scoped to THIS function's traces via no_pallas_dcn()
+    # — other jits in the process keep the Pallas path (round-4 advisor
+    # finding: the previous os.environ mutation leaked process-wide).
     jitted = jax.jit(
         lambda v, x: task._infer_decode(v, x, flip),
         in_shardings=(NamedSharding(mesh, P()), spatial_image_sharding(mesh)),
@@ -78,6 +78,7 @@ def make_spatial_infer(task, mesh: Mesh, flip: bool = False) -> Callable:
 
     def fn(variables, images):
         _check(images)
-        return jitted(variables, images)
+        with no_pallas_dcn():  # active during (lazy) tracing
+            return jitted(variables, images)
 
     return fn

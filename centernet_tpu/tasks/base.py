@@ -144,6 +144,31 @@ class CenterNet:
             variables, self.prep_images(x), train, mutable=mutable
         )
 
+    @staticmethod
+    def _mask_valid_region(hm_sig, valid_hw):
+        """Zero heatmap scores outside the reference-padded region.
+
+        TTA bucket quantization (tasks/detection.py:tta_bucket) extends
+        the canvas past the reference's ``(d|31)+1`` geometry with zero
+        pixels. A zero-input region still scores sigmoid(-2.19) ~= 0.1
+        (the heatmap head's bias prior, models/heads.py), and the 3x3
+        maxpool pseudo-NMS keeps every cell of a constant plateau — so an
+        unmasked bucket margin floods the fixed top-K pool with ~0.1-score
+        candidates that unpad to out-of-image coordinates and can evict
+        real low-score detections (round-4 advisor finding). ``valid_hw``
+        [B, 2] int32 is the reference-region extent in heatmap cells;
+        cells at or beyond it are zeroed (scores are post-sigmoid > 0, so
+        zeros never reach top-K before any real cell). None = no-op."""
+        if valid_hw is None:
+            return hm_sig
+        b, h, w, _ = hm_sig.shape
+        ys = jax.lax.broadcasted_iota(jnp.int32, (b, h, w, 1), 1)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (b, h, w, 1), 2)
+        ok = (ys < valid_hw[:, 0][:, None, None, None]) & (
+            xs < valid_hw[:, 1][:, None, None, None]
+        )
+        return hm_sig * ok.astype(hm_sig.dtype)
+
     # -- batched fixed-shape serving geometry -----------------------------------
 
     def prepare_image_fixed(self, img_hwc, size: int = 512):

@@ -170,9 +170,11 @@ class CenterNetDetection(CenterNet):
 
     # -- inference (device) ------------------------------------------------------
 
-    def _infer_decode(self, variables, images, flip: bool):
+    def _infer_decode(self, variables, images, flip: bool, valid_hw=None):
         """Forward last stack + optional flip-average + decode. Jitted per
-        input shape. ``images`` is [1 or 2, H, W, 3] normalized NHWC."""
+        input shape. ``images`` is [1 or 2, H, W, 3] normalized NHWC;
+        ``valid_hw`` [B, 2] int32 bounds top-K candidates to the
+        reference-padded region (see CenterNet._mask_valid_region)."""
         outputs = self.apply(variables, images, train=False)[-1]
         hm = outputs["heatmap"]
         wh = outputs["width_height"]
@@ -181,7 +183,8 @@ class CenterNetDetection(CenterNet):
             hm = (hm[0:1] + hm[1:2, :, ::-1]) / 2.0
             wh = (wh[0:1] + wh[1:2, :, ::-1]) / 2.0
             reg = reg[0:1]
-        return ctdet_decode(jax.nn.sigmoid(hm), wh, reg, k=self.decode_k)
+        hm_sig = self._mask_valid_region(jax.nn.sigmoid(hm), valid_hw)
+        return ctdet_decode(hm_sig, wh, reg, k=self.decode_k)
 
     @functools.cached_property
     def _infer_decode_jit(self):
@@ -216,6 +219,12 @@ class CenterNetDetection(CenterNet):
         meta = {
             "scale": [new_w / w, new_h / h],
             "padding": [pad_lr, pad_tb],
+            # reference-region extent in heatmap cells (rows, cols) — the
+            # decode mask boundary; bucket-quantization margin lies beyond
+            "valid_hw": [
+                pad_to_tta_size(new_h, self.padding) // self.down_ratio,
+                pad_to_tta_size(new_w, self.padding) // self.down_ratio,
+            ],
         }
         return img[None], meta
 
@@ -230,7 +239,10 @@ class CenterNetDetection(CenterNet):
             if self.test_flip:
                 images = jnp.concatenate([images, images[:, :, ::-1]], axis=0)
             det = np.array(
-                self._infer_decode_jit(variables, images, self.test_flip)[0]
+                self._infer_decode_jit(
+                    variables, images, self.test_flip,
+                    jnp.asarray([meta["valid_hw"]], jnp.int32),
+                )[0]
             )
 
             # Undo down_ratio, padding, scale (host).
@@ -278,7 +290,16 @@ class CenterNetDetection(CenterNet):
         overrides the jitted forward+decode (e.g. the spatially-sharded
         one from ``parallel.spatial.make_spatial_infer``)."""
         if infer_fn is None:
-            dets = np.array(self._infer_decode_jit(variables, images, False))
+            full = [
+                images.shape[1] // self.down_ratio,
+                images.shape[2] // self.down_ratio,
+            ]
+            valid = jnp.asarray(
+                [m.get("valid_hw", full) for m in metas], jnp.int32
+            )
+            dets = np.array(
+                self._infer_decode_jit(variables, images, False, valid)
+            )
         else:
             dets = np.array(infer_fn(variables, images))
         results = []

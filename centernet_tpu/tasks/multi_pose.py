@@ -177,8 +177,11 @@ class CenterNetMultiPose(CenterNet):
 
     # -- inference ---------------------------------------------------------------
 
-    def _infer_decode(self, variables, images, flip: bool):
-        """Forward + pose-aware flip merge + decode (device, jitted)."""
+    def _infer_decode(self, variables, images, flip: bool, valid_hw=None):
+        """Forward + pose-aware flip merge + decode (device, jitted).
+        ``valid_hw`` [B, 2] int32 bounds person top-K AND keypoint-snap
+        peaks to the reference-padded region (see
+        CenterNet._mask_valid_region)."""
         out = self.apply(variables, images, train=False)[-1]
         hm = out["heatmap"]
         wh = out["width_height"]
@@ -206,11 +209,11 @@ class CenterNetMultiPose(CenterNet):
             hp_off = hp_off[0:1]
 
         return multi_pose_decode(
-            jax.nn.sigmoid(hm),
+            self._mask_valid_region(jax.nn.sigmoid(hm), valid_hw),
             wh,
             kps,
             reg=reg,
-            hm_hp=jax.nn.sigmoid(hm_kp),
+            hm_hp=self._mask_valid_region(jax.nn.sigmoid(hm_kp), valid_hw),
             hp_offset=hp_off,
             k=self.decode_k,
         )
@@ -237,7 +240,15 @@ class CenterNetMultiPose(CenterNet):
              (0, 0)),
         )
         img = (img - jnp.asarray(self.mean)) / jnp.asarray(self.std)
-        meta = {"scale": [new_w / w, new_h / h], "padding": [pad_lr, pad_tb]}
+        meta = {
+            "scale": [new_w / w, new_h / h],
+            "padding": [pad_lr, pad_tb],
+            # decode-mask boundary (see detection.prepare_image)
+            "valid_hw": [
+                pad_to_tta_size(new_h, self.padding) // self.down_ratio,
+                pad_to_tta_size(new_w, self.padding) // self.down_ratio,
+            ],
+        }
         return img[None], meta
 
     def predict(self, variables, img_hwc: np.ndarray) -> np.ndarray:
@@ -250,7 +261,10 @@ class CenterNetMultiPose(CenterNet):
             if self.test_flip:
                 images = jnp.concatenate([images, images[:, :, ::-1]], axis=0)
             det = np.array(
-                self._infer_decode_jit(variables, images, self.test_flip)[0]
+                self._infer_decode_jit(
+                    variables, images, self.test_flip,
+                    jnp.asarray([meta["valid_hw"]], jnp.int32),
+                )[0]
             )
 
             padding = np.array(meta["padding"], np.float32)
@@ -295,7 +309,16 @@ class CenterNetMultiPose(CenterNet):
         the jitted forward+decode (e.g. the spatially-sharded one from
         ``parallel.spatial.make_spatial_infer``)."""
         if infer_fn is None:
-            dets = np.array(self._infer_decode_jit(variables, images, False))
+            full = [
+                images.shape[1] // self.down_ratio,
+                images.shape[2] // self.down_ratio,
+            ]
+            valid = jnp.asarray(
+                [m.get("valid_hw", full) for m in metas], jnp.int32
+            )
+            dets = np.array(
+                self._infer_decode_jit(variables, images, False, valid)
+            )
         else:
             dets = np.array(infer_fn(variables, images))
         results = []

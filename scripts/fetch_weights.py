@@ -12,9 +12,10 @@ this script is the one-time preparation step on a machine WITH network:
     python -m centernet_tpu.cli.detection IMG ANN --arch dla_34 \
         --backbone_weights ~/weights/dla34-ba72cf86.pth
 
-Files are verified against the torch-zoo filename hash (resnet*: the first
-8 sha256-prefix chars embedded in the filename, torchvision convention) or
-the published dl.yf.io hash tag (dla34) before being kept.
+Every file is verified against its filename hash tag — the first 8 sha256
+hex chars embedded in the filename, the torch model_zoo convention the
+reference itself relies on (model_zoo.load_url for both torchvision
+resnets and dl.yf.io dla34, pose_dla_dcn.py:395-397) — before being kept.
 """
 
 from __future__ import annotations
@@ -54,19 +55,18 @@ def fetch(name: str, out_dir: str, force: bool = False) -> str:
     urllib.request.urlretrieve(url, tmp)  # noqa: S310 — fixed allowlist above
     digest = hashlib.sha256(open(tmp, "rb").read()).hexdigest()
     want = _expected_hash(url)
-    if name.startswith("resnet"):
-        # torchvision convention: the filename tag IS the sha256 prefix
-        if not digest.startswith(want):
-            os.remove(tmp)
-            raise RuntimeError(
-                f"{name}: sha256 {digest[:8]} does not match the filename "
-                f"tag {want} — corrupted or tampered download, discarded"
-            )
-    else:
-        # dl.yf.io's tag convention is not a documented sha256 prefix;
-        # print the digest so users can pin it once verified.
-        print(f"note: {name} integrity tag {want!r} is not a sha256 "
-              f"convention; downloaded sha256 = {digest}")
+    # Every source uses the torch model_zoo filename-tag convention: the
+    # 8-hex tag is a sha256 prefix. That includes dla34 — the reference
+    # fetches it via torch.utils.model_zoo.load_url
+    # (pose_dla_dcn.py:395-397), which extracts the tag with the pattern
+    # r'-([a-f0-9]*)\.' and verifies it against the file's sha256. A
+    # corrupted or tampered download is discarded, never kept.
+    if not digest.startswith(want):
+        os.remove(tmp)
+        raise RuntimeError(
+            f"{name}: sha256 {digest[:8]} does not match the filename "
+            f"tag {want} — corrupted or tampered download, discarded"
+        )
     os.replace(tmp, dest)
     print(f"ok: {dest} (sha256 {digest[:16]}…)")
     return dest

@@ -47,6 +47,45 @@ def test_bucket_count_is_bounded_for_val2017_geometry(monkeypatch):
     assert len(dims) <= 8, sorted(dims)
 
 
+def test_decode_mask_excludes_bucket_margin():
+    """The bucket margin is zero INPUT, not zero HEAD OUTPUT: a zero
+    region still scores sigmoid(-2.19) ~= 0.1 through the heatmap head's
+    bias prior, and the 3x3 maxpool pseudo-NMS keeps every cell of a
+    constant plateau — so unmasked margins flood the fixed top-K pool
+    with out-of-image candidates (round-4 advisor finding). The decode
+    path must therefore zero scores outside meta['valid_hw']; real peaks
+    BELOW the plateau level must still win."""
+    from centernet_tpu.ops.decode import ctdet_decode
+    from centernet_tpu.tasks.base import CenterNet
+
+    b, h, w, c = 1, 64, 64, 3
+    vh, vw = 40, 48  # reference-region extent in cells
+    hm = np.full((b, h, w, c), 0.1, np.float32)  # the padded plateau
+    hm[:, :vh, :vw, :] = 1e-4  # valid region floor
+    # two real peaks inside the region, both WEAKER than the plateau
+    hm[0, 10, 12, 1] = 0.05
+    hm[0, 30, 33, 2] = 0.04
+    wh = np.full((b, h, w, 2), 4.0, np.float32)
+    reg = np.zeros((b, h, w, 2), np.float32)
+
+    valid = jnp.asarray([[vh, vw]], jnp.int32)
+    masked = CenterNet._mask_valid_region(jnp.asarray(hm), valid)
+    dets = np.asarray(
+        ctdet_decode(masked, jnp.asarray(wh), jnp.asarray(reg), k=10)
+    )[0]
+    xs = (dets[:, 0] + dets[:, 2]) / 2
+    ys = (dets[:, 1] + dets[:, 3]) / 2
+    assert (xs < vw).all() and (ys < vh).all(), "candidate outside region"
+    assert dets[0, 4] == pytest.approx(0.05) and dets[1, 4] == pytest.approx(
+        0.04
+    )
+    # sanity that the test bites: WITHOUT the mask the plateau wins top-K
+    dets_un = np.asarray(
+        ctdet_decode(jnp.asarray(hm), jnp.asarray(wh), jnp.asarray(reg), k=10)
+    )[0]
+    assert dets_un[:, 4].max() == pytest.approx(0.1)
+
+
 @pytest.mark.slow
 def test_bucketed_head_outputs_equal_on_valid_region(monkeypatch):
     """Forward the SAME normalized content on the reference-padded canvas
