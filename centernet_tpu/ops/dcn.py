@@ -1239,7 +1239,13 @@ class DCN(nn.Module):
                 impl = "banded"
             elif use_pallas:
                 impl = "pallas"
-            elif x.shape[2] >= 96 or x.shape[2] <= 32:
+            elif x.shape[2] >= 96 or x.shape[2] <= 16:
+                # Round-5 sweep: at the coarse-map r=4 default, gather
+                # beats banded at 32^2 (1.24 vs 1.79 ms — banded cost
+                # scales with the row-shift span, gather's index-rate
+                # cost doesn't; the round-3 "banded wins at 32^2" was an
+                # r=2 measurement). banded keeps >=96 (only reached when
+                # Pallas is opted out) and <=16 (0.41 vs 0.48 ms).
                 impl = "banded"
             else:
                 impl = "gather"
