@@ -867,6 +867,8 @@ def _banded_vjp_bwd(kernel_size, stride, padding, dilation, radius, acc32,
         )
         return dxstack, (dty, dtx, dmask_k, dw_k)
 
+    import os as _os
+
     dxstack0 = jnp.zeros((n_sy, b, h, wh, ci), acc_dt)
     dxstack, (dty, dtx, dmask_t, dw) = jax.lax.scan(
         tap,
@@ -878,6 +880,10 @@ def _banded_vjp_bwd(kernel_size, stride, padding, dilation, radius, acc32,
             jnp.moveaxis(mask, 3, 0),  # [KK, B, H, W]
             w_taps,
         ),
+        # partial unroll of the backward tap scan: more cross-tap fusion
+        # per while body vs compile time (full unroll of the TRAIN graph
+        # measured >30 min XLA compile in round 2)
+        unroll=int(_os.environ.get("CENTERNET_TPU_DCN_BWD_UNROLL", "1")),
     )
 
     # fold the per-row-shift cotangent stack back onto the padded canvas
