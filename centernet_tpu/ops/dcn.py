@@ -1093,6 +1093,11 @@ def dcn_v2(
     )
     w_taps = weight.reshape(kk, ci, co).astype(x.dtype)
     mask_t = jnp.moveaxis(mask, 3, 0)  # [KK, B, Ho, Wo]
+    # Same dtype convention as the banded path: f32 models get true-f32
+    # matmuls (TPU dots default to bf16 MXU passes — a 2e-3 rel skew vs
+    # banded, caught by the round-5 on-chip run of the module auto-
+    # dispatch parity gate); bf16 keeps the fast default.
+    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
 
     if tap_mode == "fused":
         # [KK, B, Ho, Wo, 4] corner weights + padded start coords — the
@@ -1112,7 +1117,7 @@ def dcn_v2(
         cwt = jnp.moveaxis(cw, 1, 0)  # [B, KK, Ho, Wo, 4]
         col = jnp.einsum(
             "bkhwy,bkhwyc->bhwkc", cwt, blocks,
-            preferred_element_type=x.dtype,
+            preferred_element_type=x.dtype, precision=prec,
         )
         # mask: [KK, B, Ho, Wo] -> [B, Ho, Wo, KK, 1]
         col = col * jnp.transpose(mask_t, (1, 2, 3, 0))[..., None].astype(
@@ -1122,7 +1127,7 @@ def dcn_v2(
             "bhwk,ko->bhwo",
             col.reshape(b, ho, wo, kk * ci),
             weight.astype(x.dtype),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         return out + bias
 
@@ -1131,7 +1136,8 @@ def dcn_v2(
         col = _sample_one_tap(xpad, py_k, px_k, h, w, x.dtype)
         col = col * m_k[..., None].astype(x.dtype)
         term = jnp.einsum(
-            "bhwc,co->bhwo", col, w_k, preferred_element_type=jnp.float32
+            "bhwc,co->bhwo", col, w_k,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         return acc + term, None
 
