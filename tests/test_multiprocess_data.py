@@ -286,14 +286,26 @@ def test_worker_mode_downgrades_without_shared_memory(monkeypatch):
     def boom(*a, **k):
         raise OSError("no /dev/shm")
 
+    # the probe is lru_cached per process (round-4 advisor: run once, not
+    # per DataLoader construction) — drop the cache so the monkeypatched
+    # probe actually runs, and again afterwards so later tests re-probe
+    # the real environment
+    DataLoader._downgrade_worker_mode.cache_clear()
     monkeypatch.setattr(sm, "SharedMemory", boom)
-    assert DataLoader._downgrade_worker_mode("shm") == "process"
-    assert DataLoader._downgrade_worker_mode("thread") == "thread"
+    try:
+        assert DataLoader._downgrade_worker_mode("shm") == "process"
+        assert DataLoader._downgrade_worker_mode("thread") == "thread"
+    finally:
+        DataLoader._downgrade_worker_mode.cache_clear()
 
 
 def test_worker_mode_downgrades_without_fork(monkeypatch):
     import multiprocessing as mp
 
+    DataLoader._downgrade_worker_mode.cache_clear()
     monkeypatch.setattr(mp, "get_all_start_methods", lambda: ["spawn"])
-    assert DataLoader._downgrade_worker_mode("process") == "thread"
-    assert DataLoader._downgrade_worker_mode("shm") == "thread"
+    try:
+        assert DataLoader._downgrade_worker_mode("process") == "thread"
+        assert DataLoader._downgrade_worker_mode("shm") == "thread"
+    finally:
+        DataLoader._downgrade_worker_mode.cache_clear()
