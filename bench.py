@@ -264,6 +264,9 @@ def main():
         "stem": os.environ.get("CENTERNET_TPU_DLA_STEM", "blocked"),
         "dcn_impl_env": os.environ.get("CENTERNET_TPU_DCN_IMPL", "auto"),
         "dcn_bwd": os.environ.get("CENTERNET_TPU_DCN_BWD", "vjp"),
+        "dcn_bwd_pallas": os.environ.get(
+            "CENTERNET_TPU_DCN_BWD_PALLAS", "1"
+        ),
         "dcn_acc": os.environ.get("CENTERNET_TPU_DCN_ACC", "bf16"),
         "dcn_radius": os.environ.get("CENTERNET_TPU_DCN_RADIUS", "4"),
         "dcn_radius_fine": os.environ.get(

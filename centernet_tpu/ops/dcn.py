@@ -719,6 +719,28 @@ def banded_deform_conv_vjp(
     Residuals are only (x, offsets, mask, weight) — no outer
     ``jax.checkpoint`` needed. Numerics: gradient-parity-gated against the
     autodiff banded backward in tests/test_dcn_banded.py."""
+    import os as _os
+
+    # Round-5: the TRAIN forward rides the same Pallas lane-gather kernel
+    # the eval dispatch uses, where it fits and wins (the custom VJP saves
+    # only the inputs, so the primal is free to use any impl with
+    # identical semantics; parity gated in tests/test_dcn_pallas.py).
+    if (
+        jax.default_backend() == "tpu"
+        and _os.environ.get("CENTERNET_TPU_DCN_PALLAS", "1") == "1"
+        and _PALLAS_ALLOWED.get()
+        and x.shape[2] >= 64
+    ):
+        from .dcn_pallas import pallas_dcn_fits, pallas_deform_conv_fwd
+
+        if pallas_dcn_fits(
+            x.shape[1], x.shape[2], x.shape[-1], weight.shape[-1],
+            x.dtype, radius, kernel_size, stride, padding, dilation,
+        ):
+            return pallas_deform_conv_fwd(
+                x, offsets, mask, weight, bias,
+                kernel_size, stride, padding, dilation, radius=radius,
+            )
     return banded_deform_conv(
         x, offsets, mask, weight, bias,
         kernel_size, stride, padding, dilation, radius,
@@ -735,6 +757,16 @@ def _banded_vjp_fwd(x, offsets, mask, weight, bias, kernel_size, stride,
     return out, (x, offsets, mask, weight)
 
 
+def _pallas_bwd_wins(h, w, ci, co, radius):
+    """Measured-win band for the Pallas DCN backward (v5e, B8, bf16,
+    round-5 bench_dcn_bwd_sweep.py): 128^2 C64->64 r2 8.64 vs 25.24 ms
+    (2.92x), 64^2 C128->64 r4 13.41 vs 26.32 (1.96x), 64^2 C128->128 r4
+    13.07 vs 27.05 (2.07x). Ci>128 never reaches here (hard-gated in
+    pallas_dcn_bwd_fits — measured VMEM spill OOM); 32^2 C<=128 is
+    compile-verified on-chip by test_dla34_train_step_tpu's 256^2 step."""
+    return w >= 32
+
+
 def _banded_vjp_bwd(kernel_size, stride, padding, dilation, radius, acc32,
                     res, g):
     x, offsets, mask, weight = res
@@ -743,6 +775,56 @@ def _banded_vjp_bwd(kernel_size, stride, padding, dilation, radius, acc32,
     co = weight.shape[-1]
     assert stride == 1
     r = radius
+    import os as _os
+
+    # Round-5 train fast path: the gather-transpose Pallas backward
+    # replaces the per-(tap, dy) one-hot selection einsum transposes that
+    # owned ~60% of the dla_34 train step (BENCHMARKS.md round-4 train
+    # attribution). Same dispatch discipline as the eval forward: a
+    # VMEM-fit predicate plus a measured win band, scoped opt-outs
+    # honored. CENTERNET_TPU_DCN_BWD_PALLAS=0 restores the XLA scan.
+    env = _os.environ.get("CENTERNET_TPU_DCN_BWD_PALLAS", "1")
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and env in ("1", "force")  # "force" bypasses the win band (sweeps)
+        and _PALLAS_ALLOWED.get()
+        and (env == "force" or _pallas_bwd_wins(h, w, ci, co, radius))
+    )
+    if use_pallas:
+        from .dcn_pallas import pallas_dcn_bwd_fits
+
+        use_pallas = pallas_dcn_bwd_fits(
+            h, w, ci, co, x.dtype, radius, kernel_size, stride, padding,
+            dilation,
+        )
+    _log_dispatch(h, w, ci, co,
+                  "bwd:pallas" if use_pallas else "bwd:xla", radius, True)
+    if use_pallas:
+        from .dcn_pallas import pallas_deform_conv_bwd
+
+        off_raw = offsets.reshape(b, h, w, kk, 2)
+        off = jnp.clip(off_raw, -r, r - CLIP_EPS)
+        lo_b, hi_b = -float(r), float(r) - CLIP_EPS
+        # clip pass-through incl. the 0.5 boundary-tie convention — see
+        # the XLA path below for why the tie case matters.
+        pass_thru = jnp.where(
+            (off_raw > lo_b) & (off_raw < hi_b),
+            1.0,
+            jnp.where((off_raw == lo_b) | (off_raw == hi_b), 0.5, 0.0),
+        )
+        dx, dty, dtx, dmask, dw = pallas_deform_conv_bwd(
+            x, off.reshape(b, h, w, 2 * kk), mask, weight, g,
+            kernel_size, stride, padding, dilation, radius,
+        )
+        doff = jnp.stack([dty, dtx], axis=-1) * pass_thru
+        g32 = g.astype(jnp.float32)
+        return (
+            dx.astype(x.dtype),
+            doff.reshape(b, h, w, 2 * kk).astype(offsets.dtype),
+            dmask.astype(mask.dtype),
+            dw.astype(weight.dtype),
+            jnp.sum(g32, axis=(0, 1, 2)).astype(weight.dtype),
+        )
     span = 2 * r + 1
     lo = padding + r
     hi = (kernel_size - 1) * dilation - padding + r

@@ -146,6 +146,106 @@ def test_round4_oom_shape_compiles():
     np.testing.assert_allclose(got / scale, ref / scale, atol=2e-2)
 
 
+def test_bwd_plan_covers_model_shapes():
+    """CPU-runnable: the backward dispatch contract over the in-model
+    shape set. Ci<=128 shapes (where every measured win lives) must plan
+    under the VMEM budget; Ci>128 shapes must be REJECTED — the round-5
+    sweep measured the 32^2 C256->128 plan compiling to 169.75M scoped
+    VMEM (158M register spills, invisible to the byte estimator) after
+    ~15 min of Mosaic compile, so wide layers are gated out by contract
+    (pallas_dcn_bwd_fits docstring) and ride the XLA hand VJP."""
+    from centernet_tpu.ops.dcn_pallas import (
+        _VMEM_BUDGET, _plan_bwd, _vmem_bytes_bwd, pallas_dcn_bwd_fits,
+    )
+
+    for h, w, ci, co, r in DLA34_DCN_SHAPES:
+        for dt in (jnp.bfloat16, jnp.float32):
+            if ci > 128:
+                assert not pallas_dcn_bwd_fits(h, w, ci, co, dt, r), \
+                    (h, w, ci, co, dt)
+                continue
+            assert pallas_dcn_bwd_fits(h, w, ci, co, dt, r), \
+                (h, w, ci, co, dt)
+            th, w2, _ = _plan_bwd(h, w, ci, co, dt, radius=r,
+                                  lo=1 + r, hi=1 + r)
+            est = _vmem_bytes_bwd(th, w2, ci, co, 9, 2 * r + 1, 1 + r,
+                                  1 + r, jnp.dtype(dt).itemsize)
+            assert est <= _VMEM_BUDGET, (h, w, ci, co, dt, est)
+
+
+@tpu_only
+@pytest.mark.parametrize(
+    "shape",
+    [(16, 16, 8, 8, 2), (16, 16, 8, 8, 4)] + DLA34_DCN_SHAPES[:2],
+)
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_pallas_backward_matches_hand_vjp(shape, dtype, monkeypatch):
+    """Gradient parity: the Pallas gather-transpose backward vs the XLA
+    hand VJP, through the public custom-VJP entry (banded_deform_conv_vjp)
+    so the dispatch layer itself is under test. Offsets include exact
+    clamp-boundary values — the 0.5 pass-through tie convention must
+    survive the Pallas path (it is applied outside the kernel)."""
+    from centernet_tpu.ops.dcn import banded_deform_conv_vjp
+
+    h, w, ci, co, r = shape
+    dt = jnp.dtype(dtype)
+    x, off, mask, wgt, bias = _case(h, w, ci, co, r, dt)
+    g = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, h, w, co)), jnp.float32
+    )
+
+    def loss(x, off, mask, wgt, bias):
+        out = banded_deform_conv_vjp(x, off, mask, wgt, bias, 3, 1, 1, 1,
+                                     r, True)
+        return jnp.sum(out * g)
+
+    grad = jax.grad(loss, argnums=(0, 1, 2, 3, 4))
+    monkeypatch.setenv("CENTERNET_TPU_DCN_BWD_PALLAS", "0")
+    monkeypatch.setenv("CENTERNET_TPU_DCN_PALLAS", "0")
+    ref = jax.jit(grad)(x, off, mask, wgt, bias)
+    monkeypatch.setenv("CENTERNET_TPU_DCN_BWD_PALLAS", "force")
+    got = jax.jit(grad)(x, off, mask, wgt, bias)
+    tol = 2e-4 if dtype == "float32" else 5e-2
+    for name, gv, rv in zip(("dx", "doff", "dmask", "dw", "dbias"), got, ref):
+        gv, rv = np.asarray(gv, np.float32), np.asarray(rv, np.float32)
+        scale = max(np.abs(rv).max(), 1e-6)
+        np.testing.assert_allclose(
+            gv / scale, rv / scale, atol=tol, err_msg=f"{name} {dtype}")
+
+
+@tpu_only
+def test_dla34_train_step_tpu():
+    """Train-path TPU gate: compile + run one dla_34 train step at HEAD
+    defaults on a reduced input (256^2 keeps compile tractable while the
+    64^2 fine maps still dispatch the Pallas backward), so a backward-
+    dispatch regression is caught by the suite before the driver bench."""
+    import optax
+
+    from centernet_tpu import CenterNetDetection
+    from centernet_tpu.parallel.trainer import TrainState, make_train_step
+
+    task = CenterNetDetection("dla_34", dtype=jnp.bfloat16)
+    variables = task.init_variables(jax.random.PRNGKey(0), (256, 256))
+    tx = task.configure_optimizer(1)
+    state = TrainState.create(variables, tx)
+    step = jax.jit(make_train_step(task, tx))
+    rng = np.random.default_rng(0)
+    n = 128
+    boxes = np.zeros((2, n, 4), np.float32)
+    boxes[:, :4] = rng.uniform(10, 120, (2, 4, 4))
+    batch = (
+        jnp.asarray(rng.standard_normal((2, 256, 256, 3)), jnp.float32),
+        {
+            "boxes": jnp.asarray(boxes),
+            "classes": jnp.asarray(rng.integers(0, 80, (2, n)), jnp.int32),
+            "keypoints_raw": jnp.zeros((2, n, 17, 3), jnp.float32),
+            "valid": jnp.asarray((np.arange(n) < 4)[None].repeat(2, 0)),
+        },
+    )
+    state, stats = step(state, batch)
+    assert np.isfinite(float(stats["loss"]))
+
+
 @tpu_only
 def test_dla34_full_model_forward_decode_tpu():
     """Full-model TPU gate (round-4 postmortem): compile + run the exact
