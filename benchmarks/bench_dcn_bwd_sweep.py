@@ -11,7 +11,9 @@ fetch, marginal per-call = (t(2N) - t(N)) / N — same protocol as
 bench_dcn_pallas_sweep.py (the tunnel makes naive timing meaningless,
 BENCHMARKS.md "Measurement methodology").
 
-Run on a TPU host:  python benchmarks/bench_dcn_bwd_sweep.py
+Run on a TPU host:  python benchmarks/bench_dcn_bwd_sweep.py [start [stop]]
+(the optional argv pair slices SHAPES — Mosaic compiles via the tunnel
+are minutes per shape, so target the rows you need)
 """
 import os
 import sys
@@ -82,9 +84,12 @@ def main():
             for _ in range(reps))
         return (t2 - t1) / n
 
+    shapes = SHAPES[
+        int(sys.argv[1]) if len(sys.argv) > 1 else 0:
+        int(sys.argv[2]) if len(sys.argv) > 2 else len(SHAPES)]
     totals = {"xla": 0.0, "pallas": 0.0, "best": 0.0}
     print(f"{'shape':28s} {'xla ms':>8s} {'pallas ms':>10s} {'ratio':>6s}")
-    for h, w, ci, co, r, cnt in SHAPES:
+    for h, w, ci, co, r, cnt in shapes:
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.standard_normal((B, h, w, ci)), jnp.bfloat16)
         off = jnp.asarray(

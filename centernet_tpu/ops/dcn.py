@@ -761,10 +761,12 @@ def _pallas_bwd_wins(h, w, ci, co, radius):
     """Measured-win band for the Pallas DCN backward (v5e, B8, bf16,
     round-5 bench_dcn_bwd_sweep.py): 128^2 C64->64 r2 8.64 vs 25.24 ms
     (2.92x), 64^2 C128->64 r4 13.41 vs 26.32 (1.96x), 64^2 C128->128 r4
-    13.07 vs 27.05 (2.07x). Ci>128 never reaches here (hard-gated in
-    pallas_dcn_bwd_fits — measured VMEM spill OOM); 32^2 C<=128 is
-    compile-verified on-chip by test_dla34_train_step_tpu's 256^2 step."""
-    return w >= 32
+    13.07 vs 27.05 (2.07x). Ci>128 runs as channel-block calls
+    (dcn_pallas._bwd_ci_split) and is kept OFF until the split path has
+    its own sweep line — no default flips on unmeasured shapes (the
+    round-4 postmortem rule). 32^2 C<=128 is compile-verified on-chip by
+    test_dla34_train_step_tpu's 256^2 step."""
+    return w >= 32 and ci <= 128
 
 
 def _banded_vjp_bwd(kernel_size, stride, padding, dilation, radius, acc32,

@@ -33,7 +33,9 @@ STATUS (round 4 re-measurement, chained-marginal timing): the round-2
 beats the banded XLA path ~2.9x at the dominant fine scale (128^2 C64,
 benchmarks/bench_dcn_pallas_sweep.py) and is the eval-time dispatch
 target for shapes where it both fits and wins (``pallas_dcn_fits``).
-Forward only (training uses the banded path's hand VJP).
+Round 5 adds the gather-transpose BACKWARD (``pallas_deform_conv_bwd``,
+2-2.9x over the XLA hand VJP at Ci<=128 shapes; wide layers run as
+Ci/128 channel-block calls — see ``_bwd_ci_split``).
 
 Constraints: stride 1, same-size output (the only config the model zoo
 uses), feature width <= 128 (single-vreg lane gather), and a VMEM-fit
@@ -175,25 +177,40 @@ def _plan_bwd(h, w, ci, co, dtype, kk=9, radius=4, lo=None, hi=None):
     return None
 
 
+def _bwd_ci_split(ci):
+    """Channel-block width for the backward kernel, or None.
+
+    A SINGLE kernel invocation is hard-capped at Ci<=128: the round-5
+    on-chip sweep measured the 32^2 C256->128 r=4 plan (th=16, approved
+    by the byte estimator at ~84M) actually compiling to 169.75M of
+    scoped VMEM — 158M of it register-allocator SPILL slots the
+    estimator's linear stack model cannot see — and taking ~15 min of
+    Mosaic compile before aborting. But the backward is LINEAR in the
+    channel blocks: gk/col/ux/uy/dx/dw all decompose over Ci, and the
+    dty/dtx/dmask outputs are Ci-reductions that sum across blocks — so
+    wide layers run as Ci/128 block calls of the verified 128-channel
+    kernel (``pallas_deform_conv_bwd`` slices x and W_k per block and
+    combines)."""
+    if ci <= 128:
+        return ci
+    if ci % 128 == 0:
+        return 128
+    return None
+
+
 def pallas_dcn_bwd_fits(h, w, ci, co, dtype, radius=4, kernel_size=3,
                         stride=1, padding=1, dilation=1):
-    """True iff the Pallas backward can COMPILE at this layer shape.
-
-    Hard-gated at Ci<=128: the round-5 on-chip sweep measured the 32^2
-    C256->128 r=4 plan (th=16, approved by the byte estimator at ~84M)
-    actually compiling to 169.75M of scoped VMEM — 158M of it register-
-    allocator SPILL slots the estimator's linear stack model cannot see —
-    and taking ~15 min of Mosaic compile before aborting. Every measured
-    Pallas-backward win (2-2.9x, bench_dcn_bwd_sweep.py) is at Ci<=128;
-    the XLA hand VJP covers C256/C512 at 13-27 ms/call, so wide layers
-    stay there by contract, not by estimate."""
-    if stride != 1 or w > 128 or ci > 128:
+    """True iff the Pallas backward can COMPILE at this layer shape
+    (directly at Ci<=128, or as Ci/128 channel-block calls — see
+    ``_bwd_ci_split`` for the measured spill-OOM rationale)."""
+    cs = _bwd_ci_split(ci)
+    if stride != 1 or w > 128 or cs is None:
         return False
     lo = padding + radius
     hi = (kernel_size - 1) * dilation - padding + radius
     if lo < 0 or hi < 0:
         return False
-    return _plan_bwd(h, w, ci, co, jnp.dtype(dtype),
+    return _plan_bwd(h, w, cs, co, jnp.dtype(dtype),
                      kk=kernel_size * kernel_size, radius=radius,
                      lo=lo, hi=hi) is not None
 
@@ -572,7 +589,40 @@ def pallas_deform_conv_bwd(x, offsets, mask, weight, g, kernel_size=3,
     pass-through — the caller applies it, ops/dcn.py `_banded_vjp_bwd`),
     mask gradient [B,H,W,KK] f32, and weight gradient [KK*Ci, Co] f32.
     dbias = sum(g) stays outside (one XLA reduction).
+
+    Layers wider than 128 input channels run as Ci/128 channel-block
+    calls of the single-block kernel (the backward is linear in the
+    blocks — ``_bwd_ci_split``): dx/dw concatenate, dty/dtx/dmask sum.
     """
+    b, h, w, ci = x.shape
+    kk = kernel_size * kernel_size
+    co = weight.shape[-1]
+    cs = _bwd_ci_split(ci)
+    assert cs is not None, f"Ci {ci} not expressible as 128-channel blocks"
+    if cs != ci:
+        w_taps = weight.reshape(kk, ci, co)
+        dty = dtx = dmask = None
+        dx_parts, dw_parts = [], []
+        for i in range(ci // cs):
+            wi = w_taps[:, i * cs:(i + 1) * cs, :].reshape(kk * cs, co)
+            dxi, tyi, txi, dmi, dwi = _pallas_bwd_single(
+                x[..., i * cs:(i + 1) * cs], offsets, mask, wi, g,
+                kernel_size, stride, padding, dilation, radius)
+            dx_parts.append(dxi)
+            dw_parts.append(dwi.reshape(kk, cs, co))
+            dty = tyi if dty is None else dty + tyi
+            dtx = txi if dtx is None else dtx + txi
+            dmask = dmi if dmask is None else dmask + dmi
+        dx = jnp.concatenate(dx_parts, axis=-1)
+        dw = jnp.concatenate(dw_parts, axis=1).reshape(kk * ci, co)
+        return dx, dty, dtx, dmask, dw
+    return _pallas_bwd_single(x, offsets, mask, weight, g, kernel_size,
+                              stride, padding, dilation, radius)
+
+
+def _pallas_bwd_single(x, offsets, mask, weight, g, kernel_size, stride,
+                       padding, dilation, radius):
+    """One Ci<=128 block of the backward (see pallas_deform_conv_bwd)."""
     b, h, w, ci = x.shape
     kk = kernel_size * kernel_size
     co = weight.shape[-1]

@@ -148,27 +148,26 @@ def test_round4_oom_shape_compiles():
 
 def test_bwd_plan_covers_model_shapes():
     """CPU-runnable: the backward dispatch contract over the in-model
-    shape set. Ci<=128 shapes (where every measured win lives) must plan
-    under the VMEM budget; Ci>128 shapes must be REJECTED — the round-5
-    sweep measured the 32^2 C256->128 plan compiling to 169.75M scoped
-    VMEM (158M register spills, invisible to the byte estimator) after
-    ~15 min of Mosaic compile, so wide layers are gated out by contract
-    (pallas_dcn_bwd_fits docstring) and ride the XLA hand VJP."""
+    shape set. Every single-kernel PLAN is for a Ci<=128 block — the
+    round-5 sweep measured the direct 32^2 C256->128 plan compiling to
+    169.75M scoped VMEM (158M register spills, invisible to the byte
+    estimator) after ~15 min of Mosaic compile, so wide layers run as
+    channel-block calls of the capped kernel (_bwd_ci_split) and the
+    per-block plan must sit under the VMEM budget."""
     from centernet_tpu.ops.dcn_pallas import (
-        _VMEM_BUDGET, _plan_bwd, _vmem_bytes_bwd, pallas_dcn_bwd_fits,
+        _VMEM_BUDGET, _bwd_ci_split, _plan_bwd, _vmem_bytes_bwd,
+        pallas_dcn_bwd_fits,
     )
 
     for h, w, ci, co, r in DLA34_DCN_SHAPES:
         for dt in (jnp.bfloat16, jnp.float32):
-            if ci > 128:
-                assert not pallas_dcn_bwd_fits(h, w, ci, co, dt, r), \
-                    (h, w, ci, co, dt)
-                continue
             assert pallas_dcn_bwd_fits(h, w, ci, co, dt, r), \
                 (h, w, ci, co, dt)
-            th, w2, _ = _plan_bwd(h, w, ci, co, dt, radius=r,
+            cs = _bwd_ci_split(ci)
+            assert cs <= 128, (ci, cs)
+            th, w2, _ = _plan_bwd(h, w, cs, co, dt, radius=r,
                                   lo=1 + r, hi=1 + r)
-            est = _vmem_bytes_bwd(th, w2, ci, co, 9, 2 * r + 1, 1 + r,
+            est = _vmem_bytes_bwd(th, w2, cs, co, 9, 2 * r + 1, 1 + r,
                                   1 + r, jnp.dtype(dt).itemsize)
             assert est <= _VMEM_BUDGET, (h, w, ci, co, dt, est)
 
@@ -176,7 +175,9 @@ def test_bwd_plan_covers_model_shapes():
 @tpu_only
 @pytest.mark.parametrize(
     "shape",
-    [(16, 16, 8, 8, 2), (16, 16, 8, 8, 4)] + DLA34_DCN_SHAPES[:2],
+    # last entry: Ci=256 exercises the channel-block split (_bwd_ci_split)
+    [(16, 16, 8, 8, 2), (16, 16, 8, 8, 4), (16, 16, 256, 16, 4)]
+    + DLA34_DCN_SHAPES[:2],
 )
 @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
 def test_pallas_backward_matches_hand_vjp(shape, dtype, monkeypatch):
